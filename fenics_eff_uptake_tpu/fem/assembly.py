@@ -1,0 +1,248 @@
+"""Batched element assembly on device.
+
+Replaces the UFL/FFC form compiler + dolfin assembler (ref solvers.py:43-48,
+78-79, 140-147, 204-209, 291-294): the form set of the study is small and
+fixed, so each weak-form term is a hand-written vmapped quadrature loop that
+emits per-entity dense matrices for ops.elemspmv.
+
+Quadrature degrees follow FFC's estimates for the reference forms:
+  stiffness (P2xP2 grads)     -> degree 2
+  mass / Robin facet          -> degree 4
+  advection (P2 u, P2 c)      -> degree 5
+Variable-mu Robin facets use a 6-point 1-D Gauss rule (the smoothed step is
+not polynomial; matches/not-worse-than dolfin's estimate).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.elemspmv import ElementBlock, SumOperator
+from ..params import StepUptakeOpen
+from .elements import _EDGE_VERTS, _REF_VERTS, tabulate, tabulate_grad
+from .quadrature import interval_rule, triangle_rule
+from .space import FunctionSpace
+
+__all__ = [
+    "cell_geometry", "stiffness_block", "mass_block", "advection_block",
+    "robin_facet_block", "load_vector", "BCData", "make_bc",
+    "constrained_operator", "constrained_rhs",
+]
+
+
+def _f(x):
+    return jnp.asarray(x)
+
+
+def cell_geometry(vertices, cells):
+    """Per-cell affine map data: detJ (T,), invJT (T,2,2)."""
+    p = vertices[cells]                       # (T,3,2)
+    d1 = p[:, 1] - p[:, 0]
+    d2 = p[:, 2] - p[:, 0]
+    detJ = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    inv = jnp.stack([
+        jnp.stack([d2[:, 1], -d2[:, 0]], axis=-1),
+        jnp.stack([-d1[:, 1], d1[:, 0]], axis=-1),
+    ], axis=1) / detJ[:, None, None]          # inv(J), rows
+    invJT = jnp.swapaxes(inv, 1, 2)
+    return detJ, invJT
+
+
+def _phys_grads(space: FunctionSpace, invJT, degree):
+    qp, qw = triangle_rule(degree)
+    gref = tabulate_grad(space.element, qp)   # (Q,nd,2)
+    G = jnp.einsum("tab,qib->tqia", invJT, _f(gref))
+    return _f(qw), G
+
+
+def stiffness_block(space: FunctionSpace, D=1.0, degree=2) -> ElementBlock:
+    """K_e[i,j] = D * int grad(phi_i).grad(phi_j) dx  (ref solvers.py:140)."""
+    mesh = space.mesh
+    verts = _f(mesh.vertices)
+    cells = jnp.asarray(mesh.cells)
+    detJ, invJT = cell_geometry(verts, cells)
+    qw, G = _phys_grads(space, invJT, degree)
+    K = jnp.einsum("q,tqia,tqja,t->tij", qw, G, G, detJ) * D
+    return ElementBlock.build(K, space.cell_dofs, space.ndofs)
+
+
+def mass_block(space: FunctionSpace, coeff=1.0, degree=4) -> ElementBlock:
+    mesh = space.mesh
+    verts = _f(mesh.vertices)
+    cells = jnp.asarray(mesh.cells)
+    detJ, _ = cell_geometry(verts, cells)
+    qp, qw = triangle_rule(degree)
+    phi = _f(tabulate(space.element, qp))     # (Q,nd)
+    M = jnp.einsum("q,qi,qj,t->tij", _f(qw), phi, phi, detJ) * coeff
+    return ElementBlock.build(M, space.cell_dofs, space.ndofs)
+
+
+def advection_block(space: FunctionSpace, u_values, u_space: FunctionSpace,
+                    degree=5) -> ElementBlock:
+    """A_e[i,j] = int (u . grad(phi_j)) phi_i dx  (ref solvers.py:43-44).
+
+    ``u_values`` are interleaved vector dofs on ``u_space`` (same mesh).
+    """
+    mesh = space.mesh
+    verts = _f(mesh.vertices)
+    cells = jnp.asarray(mesh.cells)
+    detJ, invJT = cell_geometry(verts, cells)
+    qp, qw = triangle_rule(degree)
+    phi = _f(tabulate(space.element, qp))         # (Q,nd)
+    gref = _f(tabulate_grad(space.element, qp))   # (Q,nd,2)
+    G = jnp.einsum("tab,qib->tqia", invJT, gref)
+    phi_u = _f(tabulate(u_space.element, qp))     # (Q,ndu)
+    u_cell = u_values[jnp.asarray(u_space.cell_dofs)]   # (T, 2*ndu)
+    u_cell = u_cell.reshape(u_cell.shape[0], -1, 2)      # (T,ndu,2)
+    u_q = jnp.einsum("qk,tka->tqa", phi_u, u_cell)       # (T,Q,2)
+    A = jnp.einsum("q,qi,tqa,tqja,t->tij", _f(qw), phi, u_q, G, detJ)
+    return ElementBlock.build(A, space.cell_dofs, space.ndofs)
+
+
+# ---------------------------------------------------------------------------
+# facet (boundary) terms
+# ---------------------------------------------------------------------------
+
+def _facet_data(space: FunctionSpace, facet_mask):
+    """Per-selected-facet arrays: owning cell dofs, local-edge id, endpoints."""
+    mesh = space.mesh
+    fs = mesh.boundary
+    sel = np.flatnonzero(facet_mask)
+    cells_f = fs.cell[sel]
+    le = fs.local_edge[sel]
+    lv = _EDGE_VERTS_ARR[le]                      # (F,2) local vertex ids
+    ga = mesh.cells[cells_f, lv[:, 0]]
+    gb = mesh.cells[cells_f, lv[:, 1]]
+    return sel, cells_f, le, ga, gb
+
+
+_EDGE_VERTS_ARR = np.array([_EDGE_VERTS[i] for i in range(3)])
+
+
+def _edge_tables(element, t):
+    """Basis values along each of the 3 local edges at params t: (3,Q,nd)."""
+    tabs = []
+    for le in range(3):
+        a, b = _EDGE_VERTS[le]
+        pts = ((1.0 - t)[:, None] * _REF_VERTS[a]
+               + t[:, None] * _REF_VERTS[b])
+        tabs.append(tabulate(element, pts))
+    return np.stack(tabs, axis=0)
+
+
+def robin_facet_block(space: FunctionSpace, facet_mask,
+                      mu: Union[float, StepUptakeOpen, Callable],
+                      degree=4) -> ElementBlock:
+    """R_f[i,j] = int_f mu(x) phi_i phi_j ds  (ref solvers.py:48,79,144,208).
+
+    mu may be a scalar or a vectorised callable of x (e.g. StepUptakeOpen);
+    callables are evaluated at all facet quadrature points in one shot,
+    replacing the reference's per-point UserExpression callback
+    (parameters.py:74-81).
+    """
+    mesh = space.mesh
+    if not np.isscalar(mu):
+        degree = max(degree, 6)
+    t, w = interval_rule(degree)
+    sel, cells_f, le, ga, gb = _facet_data(space, facet_mask)
+    tabs = _edge_tables(space.element, t)          # (3,Q,nd)
+    phi_f = _f(tabs)[jnp.asarray(le)]              # (F,Q,nd)
+    va = mesh.vertices[ga]                         # (F,2)
+    vb = mesh.vertices[gb]
+    lens = np.linalg.norm(vb - va, axis=1)
+    xq = (1.0 - t)[None, :, None] * va[:, None, :] \
+        + t[None, :, None] * vb[:, None, :]        # (F,Q,2)
+    if np.isscalar(mu):
+        mu_q = np.full(xq.shape[:2], float(mu))
+    else:
+        mu_q = np.asarray(mu(xq[:, :, 0]), dtype=np.float64)
+        # clamp to nonnegative like pure_diffusion_solver_variable_mu
+        # (ref solvers.py:204)
+        mu_q = np.maximum(mu_q, 0.0)
+    R = jnp.einsum("q,fq,fqi,fqj,f->fij",
+                   _f(w), _f(mu_q), phi_f, phi_f, _f(lens))
+    fdofs = space.cell_dofs[cells_f]               # (F,nd)
+    return ElementBlock.build(R, fdofs, space.ndofs)
+
+
+def load_vector(space: FunctionSpace, f_callable, degree=4):
+    """b_i = int f(x) phi_i dx  (tests/MMS only; reference RHS is zero)."""
+    mesh = space.mesh
+    verts = _f(mesh.vertices)
+    cells = jnp.asarray(mesh.cells)
+    detJ, _ = cell_geometry(verts, cells)
+    qp, qw = triangle_rule(degree)
+    phi = _f(tabulate(space.element, qp))
+    p = mesh.vertices[mesh.cells]                  # (T,3,2) host
+    lam = np.concatenate(
+        [1 - qp.sum(1, keepdims=True), qp], axis=1)  # (Q,3) barycentric
+    xq = np.einsum("qv,tva->tqa", lam, p)          # (T,Q,2)
+    fq = _f(np.asarray(f_callable(xq[..., 0], xq[..., 1]), dtype=np.float64))
+    be = jnp.einsum("q,tq,qi,t->ti", _f(qw), fq, phi, detJ)
+    b = jnp.zeros(space.ndofs, dtype=be.dtype)
+    return b.at[jnp.asarray(space.cell_dofs).reshape(-1)].add(be.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet constraints (symmetric elimination, dolfin-style)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BCData:
+    free: jnp.ndarray      # (ndofs,) bool
+    values: jnp.ndarray    # (ndofs,) bc value where constrained, else 0
+
+
+def make_bc(space: FunctionSpace, marker_value_pairs, marker_array=None) -> BCData:
+    """Dirichlet data from (marker_id, value) pairs on bc markers.
+
+    Matches ``DirichletBC(C, Constant(v), bc_markers, id)``
+    (ref solvers.py:30-31,127-128).
+    """
+    mesh = space.mesh
+    marker = mesh.bc_marker if marker_array is None else marker_array
+    free = np.ones(space.ndofs, dtype=bool)
+    vals = np.zeros(space.ndofs)
+    for marker_id, value in marker_value_pairs:
+        dofs = space.boundary_scalar_dofs(marker == marker_id)
+        if space.vs == 1:
+            gdofs = dofs
+        else:
+            gdofs = np.concatenate([2 * dofs, 2 * dofs + 1])
+        free[gdofs] = False
+        if np.isscalar(value):
+            vals[gdofs] = value
+        else:
+            # value = callable(x, y) -> (len(dofs), vs)
+            coords = space.dof_coords[dofs]
+            v = np.asarray(value(coords[:, 0], coords[:, 1]))
+            if space.vs == 1:
+                vals[gdofs] = v
+            else:
+                vals[2 * dofs] = v[:, 0]
+                vals[2 * dofs + 1] = v[:, 1]
+    return BCData(free=jnp.asarray(free), values=jnp.asarray(vals))
+
+
+def constrained_operator(op: SumOperator, bc: BCData):
+    """x -> A x restricted to free dofs; identity on constrained dofs."""
+
+    def apply(x):
+        x0 = jnp.where(bc.free, x, 0.0)
+        y = op.apply(x0)
+        return jnp.where(bc.free, y, x)
+
+    return apply
+
+
+def constrained_rhs(op: SumOperator, bc: BCData, b=None):
+    """RHS for the eliminated system: b - A g on free dofs, g on bc dofs."""
+    Ag = op.apply(bc.values)
+    if b is None:
+        b = jnp.zeros_like(bc.values)
+    return jnp.where(bc.free, b - Ag, bc.values)
