@@ -104,6 +104,47 @@ def advection_block(space: FunctionSpace, u_values, u_space: FunctionSpace,
     return ElementBlock.build(A, space.cell_dofs, space.ndofs)
 
 
+def vector_stiffness_block(vspace: FunctionSpace, coeff=1.0,
+                           degree=2) -> ElementBlock:
+    """A_e for the vector Laplacian int grad(u):grad(v) dx (ref
+    solvers.py:291): interleaved layout, A = kron(K_scalar, I_2)."""
+    mesh = vspace.mesh
+    verts = _f(mesh.vertices)
+    cells = jnp.asarray(mesh.cells)
+    detJ, invJT = cell_geometry(verts, cells)
+    qw, G = _phys_grads(vspace, invJT, degree)
+    K = jnp.einsum("q,tqia,tqja,t->tij", qw, G, G, detJ) * coeff  # (T,nd,nd)
+    T, nd, _ = K.shape
+    A = jnp.zeros((T, 2 * nd, 2 * nd), dtype=K.dtype)
+    A = A.at[:, 0::2, 0::2].set(K)
+    A = A.at[:, 1::2, 1::2].set(K)
+    return ElementBlock.build(A, vspace.cell_dofs, vspace.ndofs)
+
+
+def divergence_block(pspace: FunctionSpace, vspace: FunctionSpace,
+                     degree=3):
+    """B_e[k,(j,b)] = -int psi_k d_b(phi_j) dx -- the coupling B = -B_div so
+    that the saddle matrix [[A, B^T],[B, 0]] matches the reference form
+    a = grad(u):grad(v) - p div v - q div u (ref solvers.py:291-293).
+    """
+    from ..ops.elemspmv import RectBlock
+    mesh = vspace.mesh
+    verts = _f(mesh.vertices)
+    cells = jnp.asarray(mesh.cells)
+    detJ, invJT = cell_geometry(verts, cells)
+    qp, qw = triangle_rule(degree)
+    psi = _f(tabulate(pspace.element, qp))            # (Q,np)
+    gref = _f(tabulate_grad(vspace.element, qp))      # (Q,ndu,2)
+    G = jnp.einsum("tab,qib->tqia", invJT, gref)      # (T,Q,ndu,2)
+    Bd = jnp.einsum("q,qk,tqjb,t->tkjb", _f(qw), psi, G, detJ)  # (T,np,ndu,2)
+    T, npp, ndu, _ = Bd.shape
+    B = -Bd.reshape(T, npp, 2 * ndu)                  # interleave (j,b)
+    # interleaved velocity layout: col (2j+b); reshape above gives (j,b)
+    # pairs in exactly that order since b is the fastest axis.
+    return RectBlock.build(B, pspace.cell_dofs, vspace.cell_dofs,
+                           pspace.ndofs, vspace.ndofs)
+
+
 # ---------------------------------------------------------------------------
 # facet (boundary) terms
 # ---------------------------------------------------------------------------

@@ -85,6 +85,55 @@ class ElementBlock:
 
 
 @dataclass
+class RectBlock:
+    """Rectangular element block: rows on one space, columns on another.
+
+    Used for the Stokes divergence coupling B (pressure rows, velocity
+    columns); ``apply`` computes B x_u, ``apply_t`` computes B^T x_p.
+    """
+
+    B_e: jnp.ndarray           # (N, nr, nc)
+    row_dofs: jnp.ndarray      # (N, nr)
+    col_dofs: jnp.ndarray      # (N, nc)
+    row_scatter: Scatter
+    col_scatter: Scatter
+
+    @classmethod
+    def build(cls, B_e, row_dofs, col_dofs, nrows: int, ncols: int):
+        return cls(B_e=B_e,
+                   row_dofs=jnp.asarray(row_dofs, dtype=jnp.int32),
+                   col_dofs=jnp.asarray(col_dofs, dtype=jnp.int32),
+                   row_scatter=make_scatter(row_dofs, nrows),
+                   col_scatter=make_scatter(col_dofs, ncols))
+
+    def apply(self, x):
+        xe = x[self.col_dofs]
+        ye = jnp.einsum("nij,nj->ni", self.B_e, xe)
+        vals = ye.reshape(-1)[self.row_scatter.perm]
+        return jax.ops.segment_sum(
+            vals, self.row_scatter.ids_sorted,
+            num_segments=self.row_scatter.ndofs, indices_are_sorted=True)
+
+    def apply_t(self, x):
+        xe = x[self.row_dofs]
+        ye = jnp.einsum("nij,ni->nj", self.B_e, xe)
+        vals = ye.reshape(-1)[self.col_scatter.perm]
+        return jax.ops.segment_sum(
+            vals, self.col_scatter.ids_sorted,
+            num_segments=self.col_scatter.ndofs, indices_are_sorted=True)
+
+    def to_coo(self):
+        rd = np.asarray(self.row_dofs)
+        cd = np.asarray(self.col_dofs)
+        N, nr = rd.shape
+        nc = cd.shape[1]
+        rows = np.repeat(rd, nc, axis=1).ravel()
+        cols = np.tile(cd, (1, nr)).ravel()
+        vals = np.asarray(self.B_e).ravel()
+        return rows, cols, vals
+
+
+@dataclass
 class SumOperator:
     """A = sum of element blocks (e.g. cell stiffness + boundary Robin)."""
 
