@@ -1,0 +1,43 @@
+"""Sweep batching (vmap) + device-mesh sharding (shard_map) tests.
+
+Runs on the virtual 8-device CPU mesh from conftest.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from fenics_eff_uptake_tpu.meshing.generator import structured_rectangle
+from fenics_eff_uptake_tpu.models.diffusion import pure_diffusion_solve
+from fenics_eff_uptake_tpu.parallel.sharding import (build_sharded_mu_sweep,
+                                                     make_device_mesh)
+from fenics_eff_uptake_tpu.parallel.sweep import (build_mu_sweep_system,
+                                                  solve_mu_sweep)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return structured_rectangle(2.0, 1.0, 10, 5)
+
+
+def test_vmapped_sweep_matches_single(mesh):
+    sys = build_mu_sweep_system(mesh, D=1.0)
+    mus = [0.1, 1.0, 10.0]
+    X, info = solve_mu_sweep(sys, mus, rtol=1e-13)
+    assert X.shape[0] == 3
+    for i, mu in enumerate(mus):
+        c = pure_diffusion_solve(mesh, D=1.0, mu=mu, element="P2")
+        assert np.allclose(np.asarray(X[i]), c.as_numpy(), atol=1e-8), mu
+
+
+def test_sharded_sweep_matches_vmapped(mesh):
+    assert len(jax.devices()) >= 8, "conftest should give 8 CPU devices"
+    dev_mesh = make_device_mesh(8, tp=2)   # 4-way sweep x 2-way cells
+    sh = build_sharded_mu_sweep(mesh, dev_mesh, D=1.0, rtol=1e-12,
+                                maxiter=5000)
+    mus = [0.1, 0.5, 1.0, 2.0, 5.0]        # padded to 8 internally
+    X = sh.solve(mus)
+    assert X.shape[0] == 5
+    sys = build_mu_sweep_system(mesh, D=1.0)
+    Xref, _ = solve_mu_sweep(sys, mus, rtol=1e-13)
+    assert np.allclose(np.asarray(X), np.asarray(Xref), atol=1e-7)
