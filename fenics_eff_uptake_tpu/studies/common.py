@@ -1,0 +1,126 @@
+"""Shared study-driver machinery.
+
+The reference drivers run every sweep cell as a fresh serial FEniCS pipeline
+(mesh -> assemble -> LU -> metrics; SURVEY.md section 3.3-3.5).  Here the
+workhorse is ``no_adv_batch``: one mesh, one operator build, ONE vmapped
+batched CG over all mu values of that geometry (parallel/sweep.py), then
+per-mu metric extraction -- the TPU-native data-parallel axis.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..analysis.flux import compute_flux_metrics
+from ..analysis.mass import compute_mass_metrics
+from ..analysis.mu_eff import compute_mu_eff_metrics
+from ..fem.space import Function, FunctionSpace
+from ..meshing.mesh_data import MeshData
+from ..params import Parameters
+from ..parallel.sweep import build_mu_sweep_system, solve_mu_sweep
+from ..simulation import get_mesh
+
+__all__ = ["make_no_adv_params", "no_adv_batch", "create_study_dirs",
+           "save_csv", "save_metadata"]
+
+
+def make_no_adv_params(mu_factor=1.0, sulci_w_dim=None, sulci_h_dim=None,
+                       mesh_size_dim=None, **overrides) -> Parameters:
+    """No-advection Parameters with mu_dim = baseline * factor
+    (ref no_advection_analysis_B.py:43-53)."""
+    p = Parameters(mode="no-adv", **overrides)
+    if sulci_w_dim is not None:
+        p.sulci_w_dim = sulci_w_dim
+    if sulci_h_dim is not None:
+        p.sulci_h_dim = sulci_h_dim
+    if mesh_size_dim is not None:
+        p.mesh_size_dim = mesh_size_dim
+    p.mu_dim = Parameters.MU_DIM_NO_ADV * float(mu_factor)
+    p.validate()
+    p.nondim()
+    return p
+
+
+def no_adv_batch(geom_params: Parameters, mu_factors: List[float],
+                 domain_type: str, rtol=1e-12, maxiter=50000,
+                 verbose=True) -> List[Dict]:
+    """Run the pure-diffusion problem for several mu* values on one mesh.
+
+    Returns one results dict per mu factor with the same keys as
+    ``run_simulation`` (c, mass_metrics, flux_metrics, params,
+    mu_eff_comparison for sulcus domains).
+    """
+    t0 = time.time()
+    mesh = get_mesh(geom_params, domain_type)
+    sys = build_mu_sweep_system(mesh, D=geom_params.D, element="P2")
+    # nondimensional mu* values for this sweep
+    scale = geom_params.H_dim / geom_params.D_dim
+    mus = [Parameters.MU_DIM_NO_ADV * f * scale for f in mu_factors]
+    X, info = solve_mu_sweep(sys, mus, rtol=rtol, maxiter=maxiter)
+    if verbose:
+        print(f"  [batch] {domain_type} "
+              f"w={geom_params.sulci_w_dim} h={geom_params.sulci_h_dim}: "
+              f"{len(mus)} solves in {time.time() - t0:.2f}s "
+              f"(iters={info['iters'].tolist()})")
+
+    space = FunctionSpace(mesh, "P2")
+    out = []
+    for i, f in enumerate(mu_factors):
+        params = make_no_adv_params(
+            f, sulci_w_dim=geom_params.sulci_w_dim,
+            sulci_h_dim=geom_params.sulci_h_dim,
+            mesh_size_dim=geom_params.mesh_size_dim,
+            L_dim=geom_params.L_dim, H_dim=geom_params.H_dim,
+            refinement_factor=geom_params.refinement_factor)
+        c = Function(space, X[i])
+        flux = compute_flux_metrics(c, None, mesh, domain_type,
+                                    params.D, params.mu, warn=False)
+        mass = compute_mass_metrics(c, mesh, domain_type)
+        res = {
+            "c": c, "u": None, "p": None,
+            "mass_metrics": mass,
+            "flux_metrics": flux,
+            "vel_metrics": {},
+            "params": params,
+            "mesh_results": {"mesh": mesh, "mesh_info": mesh.mesh_info()},
+            "domain_type": domain_type,
+            "solver": {"iters": int(info["iters"][i]),
+                       "resnorm": float(info["resnorm"][i])},
+        }
+        if domain_type == "sulcus":
+            res["mu_eff_comparison"] = compute_mu_eff_metrics(
+                c, mesh, params, flux)
+        out.append(res)
+    return out
+
+
+def create_study_dirs(study_name, base_dir):
+    """<base>/<study> Analysis + <base>/<study> Simulations
+    (ref plotting.py:241-247)."""
+    study_dir = os.path.join(base_dir, f"{study_name} Analysis")
+    sim_dir = os.path.join(base_dir, f"{study_name} Simulations")
+    os.makedirs(study_dir, exist_ok=True)
+    os.makedirs(sim_dir, exist_ok=True)
+    return study_dir, sim_dir
+
+
+def save_csv(rows, path, sort_by=None):
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    if sort_by:
+        df = df.sort_values(sort_by).reset_index(drop=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df.to_csv(path, index=False)
+    print(f"  CSV saved: {path} ({len(df)} rows)")
+    return df
+
+
+def save_metadata(meta: dict, path: str):
+    import json
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=2, default=str)

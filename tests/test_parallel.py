@@ -41,3 +41,15 @@ def test_sharded_sweep_matches_vmapped(mesh):
     sys = build_mu_sweep_system(mesh, D=1.0)
     Xref, _ = solve_mu_sweep(sys, mus, rtol=1e-13)
     assert np.allclose(np.asarray(X), np.asarray(Xref), atol=1e-7)
+
+
+def test_mixed_precision_matches_f64(mesh):
+    from fenics_eff_uptake_tpu.parallel.sweep import (build_transport_system,
+                                                      solve_sweep)
+    sys = build_transport_system(mesh)
+    mus = [0.5, 2.0]
+    X64, _ = solve_sweep(sys, [1.0, 1.0], mu_values=mus, precision="f64",
+                         rtol=1e-13)
+    Xmx, info = solve_sweep(sys, [1.0, 1.0], mu_values=mus,
+                            precision="mixed", rtol=1e-12)
+    assert np.abs(np.asarray(X64) - np.asarray(Xmx)).max() < 1e-9
