@@ -1,0 +1,280 @@
+"""Adv-diff step-mu(x) validation -- the flagship study.
+
+TPU-native re-implementation of ``adv_diff_analysis.py``: the Pe x mu grid
+{0.1, 1, 10} x {0.1, 1, 10} with, per cell, (1) a sulcus reference run
+extracting mu_eff^open and (2) a rectangular surrogate with the smoothed
+step mu(x) = mu_base -> mu_eff^open over the mouth footprint
+(ref adv_diff_analysis.py:113-178).  CSV schema matches
+advdiff_validation_step_pe_x_mu.csv.
+
+TPU-first restructuring (SURVEY.md 3.2: the 9 cells are independent; the
+sulcus->rect dependency is per-cell):
+  - the nondimensional Stokes velocity is Pe-independent, so each domain
+    needs ONE Stokes solve total (the reference runs 18);
+  - the 9 sulcus transport solves batch into ONE vmapped BiCGStab
+    (Pe enters only through D* = 1/Pe, mu through the Robin block);
+  - the 9 rectangular surrogate solves batch the per-cell step-mu Robin
+    matrices into a second vmapped solve.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List
+
+import numpy as np
+
+from ..analysis.flux import compute_flux_metrics
+from ..analysis.mass import compute_mass_metrics
+from ..analysis.mu_eff import compute_mu_eff_metrics
+from ..fem.space import Function
+from ..models.stokes_flow import stokes_solve
+from ..params import Parameters, StepUptakeOpen
+from ..parallel.sweep import (build_transport_system, robin_matrices_for_mu,
+                              solve_sweep)
+from ..simulation import get_mesh
+from .common import save_csv, save_metadata
+
+__all__ = ["run_advdiff_step_validation", "replot_from_csv",
+           "PE_VALUES", "MU_FACTORS", "REFERENCE_GEOMETRY"]
+
+PE_VALUES = [0.1, 1.0, 10]
+MU_FACTORS = [0.1, 1.0, 10]
+REFERENCE_GEOMETRY = {
+    "L_dim": 10.0, "H_dim": 1.0,
+    "sulci_w_dim": 0.5, "sulci_h_dim": 1.0,
+    "mesh_size_dim": 0.02, "refinement_factor": 1,
+}
+D_DIM = 0.0003
+MU_DIM_BASE = 0.0003
+STEP_GAMMA = 5.0
+
+
+def create_base_parameters(Pe_target, mu_factor, mesh_size_dim=None):
+    """Parameters for target Pe and mu factor (ref :74-86)."""
+    geo = dict(REFERENCE_GEOMETRY)
+    if mesh_size_dim is not None:
+        geo["mesh_size_dim"] = mesh_size_dim
+    U_ref_dim = Pe_target * D_DIM / geo["H_dim"]
+    params = Parameters(mode="adv-diff", U_ref_dim=U_ref_dim, D_dim=D_DIM,
+                        **geo)
+    params.mu_dim = MU_DIM_BASE * float(mu_factor)
+    params.validate()
+    params.nondim()
+    return params
+
+
+def _flux_row(flux_metrics, domain_type):
+    """Signed flux components (ref :91-107)."""
+    if domain_type == "sulcus":
+        y0 = (flux_metrics.get("sulcus_specific", {})
+              .get("physical_flux", {}).get("y0_flux", {}))
+        return {"total_flux": y0.get("total"),
+                "diffusive_flux": y0.get("diffusive"),
+                "advective_flux": y0.get("advective"),
+                "uptake_flux": flux_metrics.get("uptake_flux")}
+    bottom = flux_metrics.get("physical_flux", {}).get("bottom", {})
+    return {"total_flux": bottom.get("total"),
+            "diffusive_flux": bottom.get("diffusive"),
+            "advective_flux": bottom.get("advective"),
+            "uptake_flux": flux_metrics.get("uptake_flux")}
+
+
+def run_advdiff_step_validation(
+        output_base_dir="Results/AdvDiff Validation (Pe x mu) - Step Only",
+        mesh_size_dim=None, pe_values=None, mu_factors=None,
+        precision=None, rtol=1e-12, verbose=True):
+    """Run the full Pe x mu validation; returns the DataFrame."""
+    pe_values = list(pe_values or PE_VALUES)
+    mu_factors = list(mu_factors or MU_FACTORS)
+    print("=" * 64 + "\nADVECTION-DIFFUSION VALIDATION (Step mu only)\n"
+          + "=" * 64)
+    t0 = time.time()
+    results_dir = os.path.join(output_base_dir, "Results Data")
+    plots_dir = os.path.join(output_base_dir, "Analysis Plots")
+    os.makedirs(results_dir, exist_ok=True)
+    os.makedirs(plots_dir, exist_ok=True)
+
+    cells = [(Pe, mf) for Pe in pe_values for mf in mu_factors]
+
+    # ---------------- sulcus reference: 1 mesh, 1 Stokes, 1 batched solve
+    p0 = create_base_parameters(pe_values[0], 1.0, mesh_size_dim)
+    sulc_mesh = get_mesh(p0, "sulcus")
+    t1 = time.time()
+    u_s, p_s = stokes_solve(sulc_mesh, H=p0.H)
+    if verbose:
+        print(f"[sulcus] Stokes: {time.time()-t1:.1f}s {u_s.solver_info}")
+    sys_s = build_transport_system(sulc_mesh, u_values=u_s.values,
+                                   u_space=u_s.space)
+    D_batch = [1.0 / Pe for Pe, _ in cells]
+    mu_batch = [float(mf) for _, mf in cells]
+    t1 = time.time()
+    Xs, info_s = solve_sweep(sys_s, D_batch, mu_values=mu_batch,
+                             rtol=rtol, precision=precision)
+    if verbose:
+        print(f"[sulcus] {len(cells)} transport solves in "
+              f"{time.time()-t1:.1f}s (iters={info_s['iters'].tolist()})")
+
+    rows = []
+    sulc_results: Dict = {}
+    for i, (Pe, mf) in enumerate(cells):
+        params = create_base_parameters(Pe, mf, mesh_size_dim)
+        c = Function(sys_s.space, Xs[i])
+        fm = compute_flux_metrics(c, u_s, sulc_mesh, "sulcus",
+                                  params.D, params.mu, warn=False)
+        mm = compute_mass_metrics(c, sulc_mesh, "sulcus")
+        me = compute_mu_eff_metrics(c, sulc_mesh, params, fm)
+        sulc_results[(Pe, mf)] = {"params": params, "mu_eff": me,
+                                  "mass": mm}
+        fl = _flux_row(fm, "sulcus")
+        rows.append({
+            "Pe": Pe, "mu_factor": mf,
+            "domain_type": "sulcus", "surrogate_type": "reference",
+            **fl,
+            "mu_eff_arc": me.get("mu_eff_arc"),
+            "mu_eff_sim": me.get("mu_eff_sim"),
+            "mu_eff_open": me.get("mu_eff_open"),
+            "avg_conc": mm["average_concentration"]["total"],
+            "CR": np.nan,
+            "Mu_base_nondim": params.mu,
+            "Domain_Length_mm": params.L_dim,
+            "Sulcus_Width_mm": params.sulci_w_dim,
+        })
+        if verbose:
+            print(f"  sulcus Pe={Pe} mu={mf}: mu_eff_open="
+                  f"{me.get('mu_eff_open'):.6f}")
+
+    # ---------------- rectangular surrogates: batched step-mu Robin
+    rect_mesh = get_mesh(p0, "rectangular")
+    t1 = time.time()
+    u_r, p_r = stokes_solve(rect_mesh, H=p0.H)
+    if verbose:
+        print(f"[rect] Stokes: {time.time()-t1:.1f}s {u_r.solver_info}")
+    sys_r = build_transport_system(rect_mesh, u_values=u_r.values,
+                                   u_space=u_r.space)
+
+    steps = []
+    for (Pe, mf) in cells:
+        me = sulc_results[(Pe, mf)]["mu_eff"]
+        params = sulc_results[(Pe, mf)]["params"]
+        xL = params.L / 2 - params.sulci_w / 2
+        xR = params.L / 2 + params.sulci_w / 2
+        step = StepUptakeOpen(mu_base=float(mf),
+                              mu_eff_target=float(me["mu_eff_open"]),
+                              sulcus_left_x=xL, sulcus_right_x=xR,
+                              L_c=0.1 * params.sulci_w, Gamma=STEP_GAMMA)
+        steps.append(step)
+    R_batch = np.stack([np.asarray(robin_matrices_for_mu(sys_r, s))
+                        for s in steps])
+    t1 = time.time()
+    Xr, info_r = solve_sweep(sys_r, D_batch, robin_matrices=R_batch,
+                             rtol=rtol, precision=precision)
+    if verbose:
+        print(f"[rect] {len(cells)} surrogate solves in "
+              f"{time.time()-t1:.1f}s (iters={info_r['iters'].tolist()})")
+
+    for i, (Pe, mf) in enumerate(cells):
+        params = create_base_parameters(Pe, mf, mesh_size_dim)
+        step = steps[i]
+        params.mu = step
+        params.mu_dim = step
+        c = Function(sys_r.space, Xr[i])
+        fm = compute_flux_metrics(c, u_r, rect_mesh, "rectangular",
+                                  params.D, step, warn=False)
+        mm = compute_mass_metrics(c, rect_mesh, "rectangular")
+        me = sulc_results[(Pe, mf)]["mu_eff"]
+        avg_s = sulc_results[(Pe, mf)]["mass"][
+            "average_concentration"]["total"]
+        avg_r = mm["average_concentration"]
+        fl = _flux_row(fm, "rectangular")
+        rows.append({
+            "Pe": Pe, "mu_factor": mf,
+            "domain_type": "rectangular", "surrogate_type": "step_open",
+            **fl,
+            "mu_eff_arc": me.get("mu_eff_arc"),
+            "mu_eff_sim": me.get("mu_eff_sim"),
+            "mu_eff_open": me.get("mu_eff_open"),
+            "avg_conc": avg_r,
+            "CR": (avg_s / avg_r
+                   if avg_s is not None and avg_r not in (None, 0.0)
+                   else np.nan),
+        })
+
+    import pandas as pd
+    df = pd.DataFrame(rows).sort_values(
+        ["Pe", "mu_factor", "domain_type"]).reset_index(drop=True)
+    df["flux_error_pct"] = np.nan
+    df["flux_ratio"] = np.nan
+    for Pe in pe_values:
+        for mf in mu_factors:
+            ref = ((df["Pe"] == Pe) & (df["mu_factor"] == mf)
+                   & (df["domain_type"] == "sulcus"))
+            rec = ((df["Pe"] == Pe) & (df["mu_factor"] == mf)
+                   & (df["domain_type"] == "rectangular")
+                   & (df["surrogate_type"] == "step_open"))
+            if not ref.any() or not rec.any():
+                continue
+            ref_flux = df.loc[ref, "total_flux"].iloc[0]
+            denom = ref_flux if ref_flux != 0 else 1.0
+            df.loc[rec, "flux_ratio"] = df.loc[rec, "total_flux"] / denom
+            df.loc[rec, "flux_error_pct"] = 100.0 * (
+                df.loc[rec, "total_flux"] - ref_flux) / (
+                abs(ref_flux) if ref_flux != 0 else 1.0)
+
+    csv_path = os.path.join(results_dir,
+                            "advdiff_validation_step_pe_x_mu.csv")
+    df.to_csv(csv_path, index=False)
+    print(f"Results saved to {csv_path}")
+    save_metadata({
+        "study_type": "AdvDiff Validation (Pe x mu) - Step mu only",
+        "Pe_values": pe_values, "mu_factors": mu_factors,
+        "reference_geometry": REFERENCE_GEOMETRY,
+        "parameters": {"D_dim": D_DIM, "mu_dim_base": MU_DIM_BASE},
+        "elapsed_s": time.time() - t0,
+    }, os.path.join(results_dir, "study_metadata.json"))
+
+    try:
+        from ..plotting.adv_diff_plots import create_validation_plots
+        create_validation_plots(df, plots_dir)
+    except ImportError:
+        pass
+    print(f"Adv-diff validation done in {time.time() - t0:.1f}s")
+    return df
+
+
+def replot_from_csv(
+        output_base_dir="Results/AdvDiff Validation (Pe x mu) - Step Only"):
+    import pandas as pd
+    csv_path = os.path.join(output_base_dir, "Results Data",
+                            "advdiff_validation_step_pe_x_mu.csv")
+    if not os.path.exists(csv_path):
+        print(f"No CSV at {csv_path}")
+        return None
+    df = pd.read_csv(csv_path)
+    from ..plotting.adv_diff_plots import create_validation_plots
+    plots_dir = os.path.join(output_base_dir, "Analysis Plots")
+    os.makedirs(plots_dir, exist_ok=True)
+    create_validation_plots(df, plots_dir)
+    return df
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="Adv-diff step validation")
+    ap.add_argument("command", choices=["run", "replot"], nargs="?",
+                    default="run")
+    ap.add_argument("--mesh-size", type=float, default=None)
+    ap.add_argument("--output-base", default=None)
+    args = ap.parse_args(argv)
+    base = args.output_base or \
+        "Results/AdvDiff Validation (Pe x mu) - Step Only"
+    if args.command == "run":
+        run_advdiff_step_validation(base, mesh_size_dim=args.mesh_size)
+    else:
+        replot_from_csv(base)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,352 @@
+"""No-uptake flow study: geometry x Peclet sweep + rectangular baselines.
+
+TPU-native re-implementation of ``no_uptake_analysis.py``: 23 geometries x
+Pe in {0.1, 1, 10} sulcus runs (mu = 0, real Stokes flow) plus 3
+rectangular baselines, combined CSV with ratio columns joined against the
+rect baselines per Pe (ref :262-313), and per-geometry profile sample CSVs
+(ref :315-434).  CSV schema matches geometry_comparison_results.csv.
+
+TPU-first restructuring: per mesh ONE Stokes solve feeds all Pe (the
+nondimensional velocity is Pe-independent) and the Pe transport solves are
+ONE vmapped batched BiCGStab (D* = 1/Pe is the batch coefficient).
+
+Note on velocity columns: the reference reads 'max_ux_sulcus_level' which
+its own compute_velocity_metrics no longer emits (SURVEY.md 5.9 latent
+defect); here the sulcus-level line IS produced (the y ~ 0 mouth-level
+line), so fresh runs populate those columns.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List
+
+import numpy as np
+
+from ..analysis.flux import compute_flux_metrics
+from ..analysis.mass import compute_mass_metrics
+from ..analysis.profiles import compute_conc_profiles, compute_velocity_metrics
+from ..fem.space import Function
+from ..models.stokes_flow import stokes_solve
+from ..params import Parameters, create_geometry_variations
+from ..parallel.sweep import build_transport_system, solve_sweep
+from ..simulation import get_mesh
+from .common import create_study_dirs, save_csv, save_metadata
+
+__all__ = ["run_geometry_study", "run_rectangular_baselines",
+           "add_ratio_metrics", "export_profile_samples_csv_sulci",
+           "replot_from_csv", "PECLET_NUMBERS", "PROFILE_GEOMETRIES"]
+
+PECLET_NUMBERS = [0.1, 1.0, 10.0]
+PROFILE_GEOMETRIES = ["largest", "square_small"]
+BASE_DIR = "Results/No Uptake Simulations"
+
+
+def _make_params(pe, w=None, h=None, mesh_size_dim=None) -> Parameters:
+    """no-uptake Parameters with U_ref_dim = Pe*D/H (ref :119-127)."""
+    p = Parameters(mode="no-uptake")
+    p.mu_dim = 0.0
+    if w is not None:
+        p.sulci_w_dim = w
+    if h is not None:
+        p.sulci_h_dim = h
+    if mesh_size_dim is not None:
+        p.mesh_size_dim = mesh_size_dim
+    p.U_ref_dim = pe * p.D_dim / p.H_dim
+    p.validate()
+    p.nondim()
+    return p
+
+
+def _vm_aliases(vm):
+    """Sulcus-level aliases for the reference CSV columns."""
+    return {
+        "max_ux_sulcus_level": vm.get("max_ux_mouth_level"),
+        "avg_ux_sulcus_level": vm.get("avg_ux_mouth_level"),
+    }
+
+
+def _sulcus_row(params, mm, fm, vm):
+    """Row for a sulcus run (ref extract_simulation_data :146-239)."""
+    w, h = params.sulci_w_dim, params.sulci_h_dim
+    D_dim = params.U_ref_dim * params.H_dim / params.Pe
+    pf = fm.get("physical_flux", {})
+    mouth = (fm.get("sulcus_specific", {}).get("physical_flux", {})
+             .get("sulcus_opening", {}))
+    extra = (fm.get("sulcus_specific", {}).get("physical_flux", {})
+             .get("sulcus_opening_extra", {}))
+    avg = mm["average_concentration"]
+    al = _vm_aliases(vm)
+    return {
+        "Domain": "sulcus", "Mode": params.mode, "Peclet": params.Pe,
+        "U_ref": params.U_ref,
+        "Sulcus Width (mm)": w, "Sulcus Depth (mm)": h,
+        "Aspect_Ratio": h / w if w and w > 0 else None,
+        "U_ref (Dim)": params.U_ref_dim, "Diff Coef (Dim)": D_dim,
+        "Delta (mm)": D_dim / params.U_ref_dim,
+        "Total Mass": mm.get("total_mass"),
+        "Sulcus Mass": mm.get("sulcus_mass"),
+        "Main Channel Mass": mm.get("rectangle_mass"),
+        "Avg Concentration": avg.get("total"),
+        "Sulcus Avg Concentration": avg.get("sulcus_region"),
+        "Main Channel Avg Concentration": avg.get("rectangle_region"),
+        "Mouth_Flux_Total": mouth.get("total"),
+        "Inlet-Outlet Flux": (pf.get("left", {}).get("total", 0)
+                              + pf.get("right", {}).get("total", 0)),
+        "Mouth E_L1": extra.get("E_L1"),
+        "Mouth E_avg": extra.get("E_avg"),
+        "Mouth Q_in": extra.get("Q_in"),
+        "Mouth Q_out": extra.get("Q_out"),
+        "Mouth Net Check": extra.get("net_check"),
+        "Mouth Length": extra.get("length"),
+        "Max_Ux_mid_channel": vm.get("max_ux_mid_channel"),
+        "Avg_Ux_mid_channel": vm.get("avg_ux_mid_channel"),
+        "Max_Ux_sulcus_level": al["max_ux_sulcus_level"],
+        "Avg_Ux_sulcus_level": al["avg_ux_sulcus_level"],
+    }
+
+
+def run_rectangular_baselines(peclet_numbers=None, mesh_size_dim=None,
+                              precision=None, verbose=True):
+    """Rect baselines per Pe (ref :109-140); one Stokes + batched transport."""
+    peclet_numbers = list(peclet_numbers or PECLET_NUMBERS)
+    p0 = _make_params(peclet_numbers[0], mesh_size_dim=mesh_size_dim)
+    mesh = get_mesh(p0, "rectangular")
+    u, p = stokes_solve(mesh, H=p0.H)
+    sys = build_transport_system(mesh, u_values=u.values, u_space=u.space)
+    D_batch = [1.0 / pe for pe in peclet_numbers]
+    X, info = solve_sweep(sys, D_batch, mu_values=[0.0] * len(D_batch),
+                          precision=precision)
+    rows = []
+    for i, pe in enumerate(peclet_numbers):
+        params = _make_params(pe, mesh_size_dim=mesh_size_dim)
+        c = Function(sys.space, X[i])
+        fm = compute_flux_metrics(c, u, mesh, "rectangular", params.D, 0.0,
+                                  warn=False)
+        mm = compute_mass_metrics(c, mesh, "rectangular")
+        vm = compute_velocity_metrics(u, mesh, params)
+        pf = fm.get("physical_flux", {})
+        D_dim = params.U_ref_dim * params.H_dim / params.Pe
+        rows.append({
+            "Domain": "rectangle", "Mode": params.mode,
+            "Peclet": params.Pe, "U_ref": params.U_ref,
+            "Sulcus Width (mm)": None, "Sulcus Depth (mm)": None,
+            "Aspect_Ratio": None,
+            "U_ref (Dim)": params.U_ref_dim, "Diff Coef (Dim)": D_dim,
+            "Delta (mm)": D_dim / params.U_ref_dim,
+            "Total Mass": mm.get("total_mass"),
+            "Sulcus Mass": None,
+            "Main Channel Mass": mm.get("total_mass"),
+            "Avg Concentration": mm.get("average_concentration"),
+            "Sulcus Avg Concentration": None,
+            "Main Channel Avg Concentration": mm.get(
+                "average_concentration"),
+            "Mouth_Flux_Total": None,
+            "Inlet-Outlet Flux": (pf.get("left", {}).get("total", 0)
+                                  + pf.get("right", {}).get("total", 0)),
+            "Mouth E_L1": None, "Mouth E_avg": None, "Mouth Q_in": None,
+            "Mouth Q_out": None, "Mouth Net Check": None,
+            "Mouth Length": None,
+            "Max_Ux_mid_channel": vm.get("max_ux_mid_channel"),
+            "Avg_Ux_mid_channel": vm.get("avg_ux_mid_channel"),
+            "Max_Ux_sulcus_level": None, "Avg_Ux_sulcus_level": None,
+        })
+        if verbose:
+            print(f"  rect baseline Pe={pe}: avg_conc="
+                  f"{rows[-1]['Avg Concentration']:.6f}")
+    return rows
+
+
+def add_ratio_metrics(df):
+    """Join ratio columns against rect baselines per Pe (ref :262-313)."""
+    import pandas as pd
+    rect = df[df["Domain"] == "rectangle"].groupby("Peclet").agg({
+        "Avg Concentration": "mean",
+        "Max_Ux_mid_channel": "mean",
+        "Avg_Ux_mid_channel": "mean",
+    })
+    for col in ["Concentration_Ratio", "Channel_Conc_Ratio",
+                "Intradomain_Enrichment", "VR_mid_avg", "VR_mid_max",
+                "VR_intradomain_avg", "VR_intradomain_max"]:
+        df[col] = np.nan
+    for pe in rect.index:
+        mask = (df["Domain"] == "sulcus") & (df["Peclet"] == pe)
+        if not mask.any():
+            continue
+        r_conc = rect.loc[pe, "Avg Concentration"]
+        r_max = rect.loc[pe, "Max_Ux_mid_channel"]
+        r_avg = rect.loc[pe, "Avg_Ux_mid_channel"]
+        df.loc[mask, "Concentration_Ratio"] = \
+            df.loc[mask, "Avg Concentration"] / r_conc
+        df.loc[mask, "Channel_Conc_Ratio"] = \
+            df.loc[mask, "Main Channel Avg Concentration"] / r_conc
+        df.loc[mask, "VR_mid_avg"] = \
+            df.loc[mask, "Avg_Ux_mid_channel"] / r_avg
+        df.loc[mask, "VR_mid_max"] = \
+            df.loc[mask, "Max_Ux_mid_channel"] / r_max
+        df.loc[mask, "Intradomain_Enrichment"] = (
+            df.loc[mask, "Sulcus Avg Concentration"]
+            / df.loc[mask, "Main Channel Avg Concentration"])
+        df.loc[mask, "VR_intradomain_avg"] = (
+            df.loc[mask, "Avg_Ux_sulcus_level"]
+            / df.loc[mask, "Avg_Ux_mid_channel"])
+        df.loc[mask, "VR_intradomain_max"] = (
+            df.loc[mask, "Max_Ux_sulcus_level"]
+            / df.loc[mask, "Max_Ux_mid_channel"])
+    return df
+
+
+def collect_profile_rows(c, mesh, params, geometry_key, config_name,
+                         domain_type="sulcus"):
+    """Tidy per-sample-point profile rows (ref :315-360)."""
+    prof = compute_conc_profiles(c, mesh, params, domain_type)
+    meta = prof["profiles_meta"]
+    x_rng, y_rng = meta.get("x_range"), meta.get("y_range")
+    rows = []
+    for ltype, coord_key in (("horizontal", "x"), ("vertical", "y")):
+        for name, payload in prof["profiles_full"][ltype].items():
+            fixed = payload["y" if ltype == "horizontal" else "x"]
+            coords = payload[coord_key]
+            cs = payload["c"]
+            for i, (cc, vv) in enumerate(zip(coords, cs)):
+                rows.append({
+                    "Domain": domain_type,
+                    "Geometry": geometry_key,
+                    "Config": config_name,
+                    "Peclet": params.Pe,
+                    "LineType": ltype,
+                    "LineName": name,
+                    "Index": i,
+                    "x": cc if ltype == "horizontal" else fixed,
+                    "y": fixed if ltype == "horizontal" else cc,
+                    "c": vv,
+                    "n_points": meta.get("n_points"),
+                    "x_min": None if x_rng is None else x_rng[0],
+                    "x_max": None if x_rng is None else x_rng[1],
+                    "y_min": None if y_rng is None else y_rng[0],
+                    "y_max": None if y_rng is None else y_rng[1],
+                })
+    return rows
+
+
+def export_profile_samples_csv_sulci(profile_runs, out_dir):
+    """One CSV per geometry: profiles_samples_<geometry>.csv (ref :361-393)."""
+    import pandas as pd
+    os.makedirs(out_dir, exist_ok=True)
+    by_geom: Dict[str, list] = {}
+    for run in profile_runs:
+        by_geom.setdefault(run["geometry"], []).extend(run["rows"])
+    for gkey, rows in by_geom.items():
+        path = os.path.join(out_dir, f"profiles_samples_{gkey}.csv")
+        pd.DataFrame(rows).to_csv(path, index=False)
+        print(f"  profiles written: {path} ({len(rows)} rows)")
+
+
+def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
+                       geometries=None, base_dir=BASE_DIR,
+                       precision=None, verbose=True):
+    """The full no-uptake study (ref :921-1035); returns the DataFrame."""
+    peclet_numbers = list(peclet_numbers or PECLET_NUMBERS)
+    print("=" * 64 + "\nNO-UPTAKE GEOMETRY x PECLET STUDY\n" + "=" * 64)
+    t0 = time.time()
+    study_dir, _ = create_study_dirs("Geometry Comparison", base_dir)
+
+    base = Parameters(mode="no-uptake")
+    configs = create_geometry_variations(base, max_width=1.0)
+    if geometries is not None:
+        configs = {k: v for k, v in configs.items() if k in geometries}
+
+    rows = []
+    profile_runs = []
+    for gkey, gcfg in configs.items():
+        try:
+            w, h = gcfg["sulci_w_dim"], gcfg["sulci_h_dim"]
+            p0 = _make_params(peclet_numbers[0], w, h, mesh_size_dim)
+            mesh = get_mesh(p0, "sulcus")
+            t1 = time.time()
+            u, p = stokes_solve(mesh, H=p0.H)
+            sys = build_transport_system(mesh, u_values=u.values,
+                                         u_space=u.space)
+            D_batch = [1.0 / pe for pe in peclet_numbers]
+            X, info = solve_sweep(sys, D_batch,
+                                  mu_values=[0.0] * len(D_batch),
+                                  precision=precision)
+            vm = None
+            for i, pe in enumerate(peclet_numbers):
+                params = _make_params(pe, w, h, mesh_size_dim)
+                c = Function(sys.space, X[i])
+                fm = compute_flux_metrics(c, u, mesh, "sulcus",
+                                          params.D, 0.0, warn=False)
+                mm = compute_mass_metrics(c, mesh, "sulcus")
+                if vm is None:   # velocity is Pe-independent
+                    vm = compute_velocity_metrics(u, mesh, params)
+                rows.append(_sulcus_row(params, mm, fm, vm))
+                if gkey in PROFILE_GEOMETRIES:
+                    profile_runs.append({
+                        "geometry": gkey,
+                        "rows": collect_profile_rows(
+                            c, mesh, params, gkey, gkey)})
+            if verbose:
+                print(f"  {gkey}: {len(peclet_numbers)} Pe points in "
+                      f"{time.time()-t1:.1f}s")
+        except Exception as e:
+            print(f"  {gkey} failed: {e}")
+
+    rows.extend(run_rectangular_baselines(peclet_numbers, mesh_size_dim,
+                                          precision, verbose))
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    df = add_ratio_metrics(df)
+    csv_path = os.path.join(study_dir, "geometry_comparison_results.csv")
+    df.to_csv(csv_path, index=False)
+    print(f"Combined CSV saved: {csv_path} ({len(df)} rows)")
+
+    if profile_runs:
+        export_profile_samples_csv_sulci(
+            profile_runs, os.path.join(study_dir, "Profiles"))
+
+    save_metadata({
+        "study_type": "No-Uptake Geometry Comparison",
+        "peclet_numbers": peclet_numbers,
+        "n_geometries": len(configs),
+        "mesh_size_dim": mesh_size_dim,
+        "elapsed_s": time.time() - t0,
+    }, os.path.join(study_dir, "study_metadata.json"))
+    print(f"No-uptake study done in {time.time() - t0:.1f}s")
+    return df
+
+
+def replot_from_csv(base_dir=BASE_DIR):
+    import pandas as pd
+    study_dir = os.path.join(base_dir, "Geometry Comparison Analysis")
+    csv_path = os.path.join(study_dir, "geometry_comparison_results.csv")
+    if not os.path.exists(csv_path):
+        print(f"No CSV at {csv_path}")
+        return None
+    df = pd.read_csv(csv_path)
+    try:
+        from ..plotting.no_uptake_plots import generate_all_plots
+        generate_all_plots(df, os.path.join(study_dir, "Plots"))
+    except ImportError:
+        pass
+    return df
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="No-uptake geometry x Pe study")
+    ap.add_argument("command", choices=["run", "baselines", "replot"],
+                    nargs="?", default="run")
+    ap.add_argument("--mesh-size", type=float, default=None)
+    args = ap.parse_args(argv)
+    if args.command == "run":
+        run_geometry_study(mesh_size_dim=args.mesh_size)
+    elif args.command == "baselines":
+        run_rectangular_baselines(mesh_size_dim=args.mesh_size)
+    else:
+        replot_from_csv()
+
+
+if __name__ == "__main__":
+    main()

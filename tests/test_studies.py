@@ -1,0 +1,85 @@
+"""Study-driver smoke tests on coarse meshes + physical sanity checks.
+
+These mirror the reference's validation-by-construction strategy
+(SURVEY.md section 4.3): the studies themselves are the test harness.
+"""
+
+import numpy as np
+import pytest
+
+from fenics_eff_uptake_tpu.simulation import clear_mesh_cache
+
+COARSE = 0.2
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache():
+    yield
+    clear_mesh_cache()
+
+
+def test_phase_b_subset(tmp_path):
+    from fenics_eff_uptake_tpu.studies.phase_b import run_no_adv_mu_sweep
+    df = run_no_adv_mu_sweep(
+        output_base=str(tmp_path), mesh_size_dim=COARSE,
+        mu_factors=[0.1, 1.0], geometries=["square_medium", "reference"],
+        verbose=False)
+    assert len(df) == 4
+    # physics: sulcus absorbs more -> CR < 1; surrogate flux close to sulcus
+    assert (df["CR"] < 1.0 + 1e-9).all()
+    assert (df["CR"] > 0.5).all()
+    assert np.isfinite(df["flux_error_pct"]).all()
+    assert (df["flux_ratio"] > 0.8).all() and (df["flux_ratio"] < 1.1).all()
+
+
+def test_phase_a_mu_sweep_small(tmp_path):
+    from fenics_eff_uptake_tpu.studies import phase_a
+    df = phase_a.run_mu_sweep(mesh_size_dim=COARSE,
+                              base_dir=str(tmp_path), verbose=False)
+    assert len(df) == 20
+    # ratio mu_eff^sim/mu decreases with mu (saturation; BASELINE.md:
+    # 1.0185 at 0.1x -> 0.8846 at 150x)
+    r = df.sort_values("Mu_Factor")["Ratio_Sim"].to_numpy()
+    assert r[0] > r[-1]
+    # at this very coarse mesh the mu*=150 boundary layer (delta ~ 1/150)
+    # is unresolved; convergence to the reference 0.8846 is verified
+    # separately in test_parity (h-refinement: 0.58 -> 0.74 -> 0.84 -> ...)
+    assert 0.2 < r[-1] < r[0] < 1.2
+    # analytic estimators present
+    assert df["Mu_Eff_Analytical"].notna().all()
+    assert df["Mu_Eff_Enhanced"].notna().all()
+
+
+def test_no_uptake_subset(tmp_path):
+    from fenics_eff_uptake_tpu.studies.no_uptake import run_geometry_study
+    df = run_geometry_study(
+        peclet_numbers=[0.1, 1.0], mesh_size_dim=COARSE,
+        geometries=["square_small"], base_dir=str(tmp_path), verbose=False)
+    sulc = df[df["Domain"] == "sulcus"]
+    rect = df[df["Domain"] == "rectangle"]
+    assert len(sulc) == 2 and len(rect) == 2
+    # no uptake: inlet ~ -outlet (mass conservation)
+    scale = 1.0  # flux magnitudes O(1)
+    assert (sulc["Inlet-Outlet Flux"].abs() < 0.05).all()
+    # ratio columns joined
+    assert np.isfinite(sulc["Concentration_Ratio"]).all()
+    assert (sulc["Mouth E_L1"] >= sulc["Mouth_Flux_Total"].abs() - 1e-9).all()
+    # profile CSVs not requested for this geometry set -> none expected
+    assert (sulc["Mouth Length"] > 0).all()
+
+
+def test_advdiff_validation_subset(tmp_path):
+    from fenics_eff_uptake_tpu.studies.adv_diff import (
+        run_advdiff_step_validation)
+    df = run_advdiff_step_validation(
+        output_base_dir=str(tmp_path), mesh_size_dim=COARSE,
+        pe_values=[1.0], mu_factors=[1.0], verbose=False)
+    assert len(df) == 2
+    rect = df[df["domain_type"] == "rectangular"].iloc[0]
+    sulc = df[df["domain_type"] == "sulcus"].iloc[0]
+    # the step surrogate should reproduce the sulcus flux to a few percent
+    # even on a coarse mesh (reference achieves +0.02% at h=0.02)
+    assert abs(rect["flux_error_pct"]) < 10.0
+    assert 0.8 < rect["CR"] < 1.05
+    assert sulc["mu_eff_open"] > 0
+    assert np.isfinite(rect["total_flux"])
