@@ -1,0 +1,105 @@
+"""Headline benchmark: per-sweep-point assembly+solve wall-clock on TPU.
+
+Runs the Phase-A mu parameter sweep workload (BASELINE.json config #2 /
+SURVEY.md 3.5: 20 mu factors on the 0.25x0.25 mm sulcus at the reference's
+default mesh h=0.02 -> ~50k triangles, ~1e5 P2 dofs) as ONE vmapped batched
+solve and reports steady-state wall-clock per sweep point.
+
+Baseline: the reference publishes no timings (BASELINE.md); its per-point
+cost is one FEniCS assembly + sparse direct LU at ~1e5 CG2 dofs, which on
+the reference's serial CPU setup is seconds-scale.  We use a conservative
+2.0 s/point estimate for vs_baseline (documented assumption; the
+BASELINE.json target is >=10x, i.e. <=0.2 s/point).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_SECONDS_PER_POINT = 2.0  # assumed serial FEniCS assembly+LU per point
+N_MU = 20
+MESH_SIZE = float(os.environ.get("BENCH_MESH_SIZE", "0.02"))
+PRECISION = os.environ.get("BENCH_PRECISION", None)  # default: auto
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.parallel.sweep import (build_transport_system,
+                                                      solve_sweep)
+    from fenics_eff_uptake_tpu.studies.phase_a import MU_SWEEP_REGIMES
+
+    t_mesh = time.time()
+    mesh = generate_mesh(width=10.0, height=1.0,
+                         sulcus_depth=0.25, sulcus_width=0.25,
+                         mesh_size=MESH_SIZE, refinement_factor=1,
+                         domain_type="sulcus")
+    t_mesh = time.time() - t_mesh
+
+    t_asm = time.time()
+    sys_t = build_transport_system(mesh, element="P2")
+    jax.block_until_ready(sys_t.K.A64)
+    t_asm = time.time() - t_asm
+
+    mus = np.array([f for r in MU_SWEEP_REGIMES.values() for f in r],
+                   dtype=np.float64)[:N_MU]
+    D = np.ones_like(mus)
+
+    rtol = 1e-11
+    # warmup/compile
+    t_compile = time.time()
+    X, info = solve_sweep(sys_t, D, mu_values=mus, rtol=rtol,
+                          precision=PRECISION)
+    jax.block_until_ready(X)
+    t_compile = time.time() - t_compile
+
+    # steady state (re-solve with perturbed mus to avoid caching the result)
+    t0 = time.time()
+    X, info = solve_sweep(sys_t, D, mu_values=mus * 1.0000001, rtol=rtol,
+                          precision=PRECISION)
+    jax.block_until_ready(X)
+    t_solve = time.time() - t0
+
+    per_point = (t_asm + t_solve) / len(mus)
+    meta = {
+        "mesh_cells": int(mesh.num_cells),
+        "ndofs": int(sys_t.ndofs),
+        "n_sweep_points": int(len(mus)),
+        "mesh_gen_s": round(t_mesh, 3),
+        "assembly_s": round(t_asm, 3),
+        "first_solve_s": round(t_compile, 3),
+        "steady_solve_s": round(t_solve, 3),
+        "iters": np.asarray(info["iters"]).tolist(),
+        "max_resnorm": float(np.max(info["resnorm"])),
+        "backend": jax.default_backend(),
+        "assembled_dofs_per_s": (int(sys_t.ndofs / t_asm)
+                                 if t_asm > 0 else None),
+        "baseline_assumption_s_per_point": REF_SECONDS_PER_POINT,
+    }
+    print(json.dumps({
+        "metric": "assembly+solve wall-clock per sweep point "
+                  "(20-mu batched sweep, ~1e5 P2 dofs)",
+        "value": round(per_point, 4),
+        "unit": "s/point",
+        "vs_baseline": round(REF_SECONDS_PER_POINT / per_point, 2),
+        "meta": meta,
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # always emit a line for the driver
+        print(json.dumps({
+            "metric": "assembly+solve wall-clock per sweep point",
+            "value": None, "unit": "s/point", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(1)
