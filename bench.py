@@ -28,8 +28,8 @@ PRECISION = os.environ.get("BENCH_PRECISION", None)  # default: auto
 
 
 def main():
-    import jax
-    jax.config.update("jax_enable_x64", True)
+    from fenics_eff_uptake_tpu.utils.jaxconfig import setup
+    jax = setup(x64=True)
 
     from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
     from fenics_eff_uptake_tpu.parallel.sweep import (build_transport_system,

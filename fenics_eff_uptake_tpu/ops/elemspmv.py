@@ -61,7 +61,9 @@ class ElementBlock:
 
     def apply(self, x):
         xe = x[self.entity_dofs]                      # (N, nd) gather
-        ye = jnp.einsum("nij,nj->ni", self.A_e, xe)   # batched matmul
+        ye = jnp.einsum("nij,nj->ni", self.A_e, xe,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=x.dtype)  # batched matmul
         vals = ye.reshape(-1)[self.scatter.perm]
         return jax.ops.segment_sum(
             vals, self.scatter.ids_sorted,
@@ -108,7 +110,9 @@ class RectBlock:
 
     def apply(self, x):
         xe = x[self.col_dofs]
-        ye = jnp.einsum("nij,nj->ni", self.B_e, xe)
+        ye = jnp.einsum("nij,nj->ni", self.B_e, xe,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=x.dtype)
         vals = ye.reshape(-1)[self.row_scatter.perm]
         return jax.ops.segment_sum(
             vals, self.row_scatter.ids_sorted,
@@ -116,7 +120,9 @@ class RectBlock:
 
     def apply_t(self, x):
         xe = x[self.row_dofs]
-        ye = jnp.einsum("nij,ni->nj", self.B_e, xe)
+        ye = jnp.einsum("nij,ni->nj", self.B_e, xe,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=x.dtype)
         vals = ye.reshape(-1)[self.col_scatter.perm]
         return jax.ops.segment_sum(
             vals, self.col_scatter.ids_sorted,

@@ -61,7 +61,9 @@ class _Block(NamedTuple):
         A = A_override if A_override is not None else (
             self.A32 if f32 else self.A64)
         xe = x[self.dofs]
-        ye = jnp.einsum("nij,nj->ni", A, xe)
+        ye = jnp.einsum("nij,nj->ni", A, xe,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=x.dtype)
         return jax.ops.segment_sum(
             ye.reshape(-1)[self.perm], self.ids_sorted,
             num_segments=self.ndofs, indices_are_sorted=True)
@@ -71,6 +73,36 @@ class _Block(NamedTuple):
         de = jnp.diagonal(A, axis1=1, axis2=2)
         return jax.ops.segment_sum(
             de.reshape(-1)[self.perm], self.ids_sorted,
+            num_segments=self.ndofs, indices_are_sorted=True)
+
+    def apply_batched(self, X, f32=False, A_override=None):
+        """(n, B) -> (n, B), batch in the minor (lane) dimension.
+
+        A_override may be (N, nd, nd) shared or (B, N, nd, nd) per-sample.
+        """
+        A = A_override if A_override is not None else (
+            self.A32 if f32 else self.A64)
+        Xe = X[self.dofs]                         # (N, nd, B)
+        # force true-f32 accumulation: TPU einsum defaults to bf16 passes,
+        # which breaks CG convergence (measured: divergence at ~1e5 dofs)
+        kw = dict(precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=X.dtype)
+        if A.ndim == 4:                           # per-sample matrices
+            Ye = jnp.einsum("bnij,njb->nib", A.astype(X.dtype), Xe, **kw)
+        else:
+            Ye = jnp.einsum("nij,njb->nib", A.astype(X.dtype), Xe, **kw)
+        N, nd, B = Ye.shape
+        return jax.ops.segment_sum(
+            Ye.reshape(N * nd, B)[self.perm], self.ids_sorted,
+            num_segments=self.ndofs, indices_are_sorted=True)
+
+    def diagonal_batched(self, A_batch):
+        """Per-sample diagonals: (B, N, nd, nd) -> (n, B)."""
+        de = jnp.diagonal(A_batch, axis1=2, axis2=3)       # (B, N, nd)
+        B = de.shape[0]
+        de = jnp.moveaxis(de.reshape(B, -1), 0, 1)         # (N*nd, B)
+        return jax.ops.segment_sum(
+            de[self.perm], self.ids_sorted,
             num_segments=self.ndofs, indices_are_sorted=True)
 
 
@@ -192,41 +224,111 @@ def _solve_one_factory(sys: TransportSystem, rtol, maxiter, precision):
     return solve_one
 
 
-_JIT_CACHE: Dict = {}
+def _batched_operator(sys: TransportSystem, D_vec, mu_vec, R_batch, f32):
+    """A(X): (n,B)->(n,B) with per-column coefficients, plus diag (n,B)."""
+    free = sys.free
+
+    def A_raw(X):
+        Dv = D_vec.astype(X.dtype)
+        Y = Dv[None, :] * sys.K.apply_batched(X, f32)
+        if sys.Adv is not None:
+            Y = Y + sys.Adv.apply_batched(X, f32)
+        if sys.R is not None:
+            if R_batch is None:
+                muv = mu_vec.astype(X.dtype)
+                Y = Y + muv[None, :] * sys.R.apply_batched(X, f32)
+            else:
+                Y = Y + sys.R.apply_batched(X, f32, A_override=R_batch)
+        return Y
+
+    def A(X):
+        Y = A_raw(jnp.where(free[:, None], X, 0.0))
+        return jnp.where(free[:, None], Y, X)
+
+    diag = D_vec[None, :] * sys.K.diagonal()[:, None]
+    if sys.Adv is not None:
+        diag = diag + sys.Adv.diagonal()[:, None]
+    if sys.R is not None:
+        if R_batch is None:
+            diag = diag + mu_vec[None, :] * sys.R.diagonal()[:, None]
+        else:
+            diag = diag + sys.R.diagonal_batched(R_batch)
+    return A_raw, A, diag
 
 
 def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                 robin_matrices=None, rtol=1e-12, maxiter=50000,
-                precision=None):
+                precision=None, chunk_iters=None):
     """Batched transport solve over sweep points.
 
     D_values: (B,); mu_values: (B,) scalars (ignored if robin_matrices
     given); robin_matrices: (B, F, nd, nd) per-sample Robin assemblies.
     Returns (X (B, ndofs) f64, info dict).
+
+    Batch-minor (n, B) layout + chunked dispatches (solvers/batched.py);
+    'mixed' precision runs the bulk in f32 with f64 refinement.
     """
+    from ..solvers.batched import batched_bicgstab, batched_cg
+
     if precision is None:
         precision = default_precision()
-    D_batch = jnp.asarray(np.asarray(D_values, dtype=np.float64))
-    B = D_batch.shape[0]
+    D_vec = jnp.asarray(np.asarray(D_values, dtype=np.float64))
+    B = int(D_vec.shape[0])
     if mu_values is None:
         mu_values = np.zeros(B)
-    mu_batch = jnp.asarray(np.asarray(mu_values, dtype=np.float64))
+    mu_vec = jnp.asarray(np.asarray(mu_values, dtype=np.float64))
+    R_batch = None if robin_matrices is None else jnp.asarray(robin_matrices)
 
-    key = (id(sys), rtol, maxiter, precision, robin_matrices is not None)
-    if key not in _JIT_CACHE:
-        solve_one = _solve_one_factory(sys, rtol, maxiter, precision)
-        if robin_matrices is not None:
-            f = jax.jit(jax.vmap(lambda D, mu, R: solve_one(D, mu, R)))
-        else:
-            f = jax.jit(jax.vmap(lambda D, mu: solve_one(D, mu, None)))
-        _JIT_CACHE[key] = f
-    fn = _JIT_CACHE[key]
-    if robin_matrices is not None:
-        x, iters, resnorm = fn(D_batch, mu_batch,
-                               jnp.asarray(robin_matrices))
-    else:
-        x, iters, resnorm = fn(D_batch, mu_batch)
-    return x, {"iters": np.asarray(iters), "resnorm": np.asarray(resnorm)}
+    if chunk_iters is None:
+        # keep each device dispatch well under the runtime's ~1 min cap
+        chunk_iters = max(50, min(800, int(4.0e9 / max(
+            sys.K.A64.shape[0] * 36 * B, 1))))
+
+    nonsym = sys.Adv is not None
+    krylov = batched_bicgstab if nonsym else batched_cg
+
+    A_raw64, A64, diag = _batched_operator(sys, D_vec, mu_vec, R_batch,
+                                           f32=False)
+    free = sys.free
+    G = jnp.tile(sys.bc_values[:, None], (1, B))
+    RHS = jnp.where(free[:, None], -A_raw64(G), G)
+    dinv = jnp.where(free[:, None] & (diag != 0),
+                     1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
+
+    if precision == "f64":
+        res = krylov(A64, RHS, M=lambda R: dinv * R, rtol=rtol,
+                     maxiter=maxiter, chunk_iters=chunk_iters)
+        X = res.X
+        iters, resnorm = res.iters, res.resnorm
+    elif precision == "f32":
+        _, A32, _ = _batched_operator(sys, D_vec, mu_vec, R_batch, f32=True)
+        dinv32 = dinv.astype(jnp.float32)
+        res = krylov(A32, RHS.astype(jnp.float32),
+                     M=lambda R: dinv32 * R, rtol=max(rtol, 1e-6),
+                     maxiter=maxiter, chunk_iters=chunk_iters)
+        X = res.X.astype(jnp.float64)
+        iters, resnorm = res.iters, res.resnorm
+    else:  # mixed: f32 inner + f64 refinement (host loop)
+        _, A32, _ = _batched_operator(sys, D_vec, mu_vec, R_batch, f32=True)
+        dinv32 = dinv.astype(jnp.float32)
+        bnorm = np.asarray(jnp.linalg.norm(RHS, axis=0))
+        tol = rtol * bnorm
+        X = jnp.zeros_like(RHS)
+        total_iters = np.zeros(B, dtype=np.int64)
+        resnorm = bnorm.copy()
+        for _ in range(12):
+            Rres = RHS - A64(X)
+            resnorm = np.asarray(jnp.linalg.norm(Rres, axis=0))
+            if (resnorm <= tol).all():
+                break
+            res = krylov(A32, Rres.astype(jnp.float32),
+                         M=lambda R: dinv32 * R, rtol=1e-4,
+                         maxiter=maxiter, chunk_iters=chunk_iters)
+            X = X + res.X.astype(jnp.float64)
+            total_iters += res.iters
+        iters = total_iters
+    return jnp.moveaxis(X, 0, 1), {"iters": np.asarray(iters),
+                                   "resnorm": np.asarray(resnorm)}
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,170 @@
+"""Blocked (multi-RHS) Krylov solvers in batch-minor (n, B) layout.
+
+Why this exists (measured on TPU v5e, 50k-cell P2 mesh, ~1e5 dofs):
+  - single-solve element SpMV:                ~7 ms/iter
+  - vmap(solve) over a sweep batch:           ~25 ms/iter per 2 samples
+  - EXPLICIT batch-minor (n, B) layout:       ~6 ms/iter for B=32
+The batch axis sits in the minor (lane) dimension, so every irregular
+gather/scatter of the unstructured mesh amortises across the whole sweep --
+this is the TPU-native answer to FEM sparsity, and why sweeps are first-class
+in this framework (SURVEY.md 2.3).
+
+Dispatch chunking: the axon TPU runtime kills device programs running
+longer than ~1 min, so the iteration loop is split into fixed-size jitted
+chunks (lax.fori_loop inside, host loop outside, transferring only (B,)
+residual norms between chunks).  Converged columns are frozen via
+per-column step masks.
+
+All operators here map (n, B) -> (n, B); per-column coefficient scaling is
+the caller's job (parallel/sweep.py).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["batched_cg", "batched_bicgstab", "BatchedResult"]
+
+
+class BatchedResult(NamedTuple):
+    X: jnp.ndarray           # (n, B)
+    iters: np.ndarray        # (B,)
+    resnorm: np.ndarray      # (B,)
+    converged: np.ndarray    # (B,)
+
+
+def _colnorm(X):
+    return jnp.sqrt(jnp.sum(X * X, axis=0))
+
+
+def _cg_chunk(A, M, n_iters):
+    """Jitted CG chunk: advances all columns n_iters steps (frozen when
+    converged)."""
+
+    @jax.jit
+    def chunk(X, R, Z, P, rz, tol):
+        def body(_, state):
+            X, R, Z, P, rz = state
+            active = _colnorm(R) > tol                     # (B,)
+            AP = A(P)
+            pAp = jnp.sum(P * AP, axis=0)
+            alpha = jnp.where(active & (pAp != 0),
+                              rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+            X = X + alpha[None, :] * P
+            R = R - alpha[None, :] * AP
+            Z = M(R)
+            rz_new = jnp.sum(R * Z, axis=0)
+            beta = jnp.where(active & (rz != 0),
+                             rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+            P = jnp.where(active[None, :], Z + beta[None, :] * P, P)
+            return (X, R, Z, P, rz_new)
+
+        X, R, Z, P, rz = jax.lax.fori_loop(
+            0, n_iters, body, (X, R, Z, P, rz))
+        return X, R, Z, P, rz, _colnorm(R)
+
+    return chunk
+
+
+def batched_cg(A: Callable, B_rhs, M: Optional[Callable] = None,
+               X0=None, rtol=1e-12, atol=0.0, maxiter=20000,
+               chunk_iters=400) -> BatchedResult:
+    """Preconditioned CG on (n, B) right-hand sides."""
+    if M is None:
+        M = lambda R: R
+    if X0 is None:
+        X0 = jnp.zeros_like(B_rhs)
+    bnorm = _colnorm(B_rhs)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    R = B_rhs - A(X0)
+    Z = M(R)
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)
+    X = X0
+    chunk = _cg_chunk(A, M, chunk_iters)
+
+    iters = 0
+    rn = np.asarray(_colnorm(R))
+    tol_np = np.asarray(tol)
+    while iters < maxiter and (rn > tol_np).any():
+        X, R, Z, P, rz, rn_dev = chunk(X, R, Z, P, rz, tol)
+        iters += chunk_iters
+        rn = np.asarray(rn_dev)
+    return BatchedResult(X=X, iters=np.full(B_rhs.shape[1], iters),
+                         resnorm=rn, converged=rn <= tol_np)
+
+
+def _bicgstab_chunk(A, M, n_iters):
+    @jax.jit
+    def chunk(X, R, Rhat, P, V, rho, alpha, omega, tol):
+        def body(_, state):
+            X, R, P, V, rho, alpha, omega = state
+            active = _colnorm(R) > tol
+            rho_new = jnp.sum(Rhat * R, axis=0)
+            beta = jnp.where(
+                active,
+                (rho_new / jnp.where(rho != 0, rho, 1.0))
+                * (alpha / jnp.where(omega != 0, omega, 1.0)), 0.0)
+            P = jnp.where(active[None, :],
+                          R + beta[None, :] * (P - omega[None, :] * V), P)
+            Phat = M(P)
+            V = A(Phat)
+            denom = jnp.sum(Rhat * V, axis=0)
+            alpha = jnp.where(active & (denom != 0),
+                              rho_new / jnp.where(denom != 0, denom, 1.0),
+                              0.0)
+            S = R - alpha[None, :] * V
+            Shat = M(S)
+            T = A(Shat)
+            tt = jnp.sum(T * T, axis=0)
+            omega = jnp.where(active & (tt != 0),
+                              jnp.sum(T * S, axis=0)
+                              / jnp.where(tt != 0, tt, 1.0), 0.0)
+            X = X + alpha[None, :] * Phat + omega[None, :] * Shat
+            R = jnp.where(active[None, :], S - omega[None, :] * T, R)
+            return (X, R, P, V, rho_new, alpha, omega)
+
+        X, R, P, V, rho, alpha, omega = jax.lax.fori_loop(
+            0, n_iters, body, (X, R, P, V, rho, alpha, omega))
+        return X, R, P, V, rho, alpha, omega, _colnorm(R)
+
+    return chunk
+
+
+def batched_bicgstab(A: Callable, B_rhs, M: Optional[Callable] = None,
+                     X0=None, rtol=1e-12, atol=0.0, maxiter=20000,
+                     chunk_iters=200) -> BatchedResult:
+    """Preconditioned BiCGStab on (n, B) right-hand sides."""
+    if M is None:
+        M = lambda R: R
+    if X0 is None:
+        X0 = jnp.zeros_like(B_rhs)
+    bnorm = _colnorm(B_rhs)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    R = B_rhs - A(X0)
+    Rhat = R
+    B = B_rhs.shape[1]
+    ones = jnp.ones(B, dtype=B_rhs.dtype)
+    zerosV = jnp.zeros_like(B_rhs)
+    X, P, V = X0, zerosV, zerosV
+    rho = alpha = omega = ones
+    chunk = _bicgstab_chunk(A, M, chunk_iters)
+
+    iters = 0
+    rn = np.asarray(_colnorm(R))
+    tol_np = np.asarray(tol)
+    while iters < maxiter and (rn > tol_np).any():
+        X, R, P, V, rho, alpha, omega, rn_dev = chunk(
+            X, R, Rhat, P, V, rho, alpha, omega, tol)
+        iters += chunk_iters
+        rn = np.asarray(rn_dev)
+    return BatchedResult(X=X, iters=np.full(B, iters),
+                         resnorm=rn, converged=rn <= tol_np)
