@@ -98,12 +98,34 @@ def _filter_seeds(seeds, fixed_pts, size_fn, inside_fn, spacing=0.65):
 # per-region triangulation + smoothing
 # ---------------------------------------------------------------------------
 
+def _filter_degenerate(pts, cells, min_area_frac=1e-9):
+    v = pts
+    d1 = v[cells[:, 1]] - v[cells[:, 0]]
+    d2 = v[cells[:, 2]] - v[cells[:, 0]]
+    area = 0.5 * np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
+    scale = np.maximum(np.linalg.norm(d1, axis=1),
+                       np.linalg.norm(d2, axis=1)) ** 2
+    return cells[area > min_area_frac + 1e-14 * scale]
+
+
 def _triangulate(points, n_fixed, size_fn, n_smooth=4, min_area_frac=1e-9):
     """Delaunay + Lloyd-style smoothing; first ``n_fixed`` points immovable.
 
-    Returns (points, cells) with degenerate slivers dropped and CCW cells.
+    Uses the native C++ mesh kernel (native/meshkernel.cpp) when built --
+    the framework's replacement for the reference's Gmsh subprocess -- with
+    a scipy/qhull fallback.  Returns (points, cells), degenerate slivers
+    dropped, CCW cells.
     """
     pts = np.asarray(points, dtype=np.float64).copy()
+
+    from . import native as _native
+    if _native.available():
+        out = _native.smooth_and_triangulate(pts, n_fixed,
+                                             max(0, n_smooth))
+        if out is not None:
+            npts, cells = out
+            cells = _filter_degenerate(npts, cells, min_area_frac)
+            return npts, orient_ccw(npts, cells)
 
     def _delaunay_cells(p):
         tri = Delaunay(p)
