@@ -258,7 +258,9 @@ def _batched_operator(sys: TransportSystem, D_vec, mu_vec, R_batch, f32):
 
 def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                 robin_matrices=None, rtol=1e-12, maxiter=50000,
-                precision=None, chunk_iters=None):
+                precision=None, chunk_iters=None,
+                coarse_mesh=None, u_coarse=None, robin_coarse=None,
+                twolevel=None):
     """Batched transport solve over sweep points.
 
     D_values: (B,); mu_values: (B,) scalars (ignored if robin_matrices
@@ -292,28 +294,45 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
     free = sys.free
     G = jnp.tile(sys.bc_values[:, None], (1, B))
     RHS = jnp.where(free[:, None], -A_raw64(G), G)
+    X0 = G  # exact on constrained dofs from the start
     dinv = jnp.where(free[:, None] & (diag != 0),
                      1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
 
+    # optional two-level (coarse-grid) preconditioner
+    tl = twolevel
+    if tl is None and coarse_mesh is not None:
+        from ..solvers.twolevel import build_twolevel
+        tl = build_twolevel(sys, coarse_mesh, np.asarray(D_values),
+                            mu_values=np.asarray(mu_values),
+                            robin_matrices_coarse=robin_coarse,
+                            u_coarse=u_coarse)
+
+    def make_M(f32):
+        dv = dinv.astype(jnp.float32) if f32 else dinv
+        if tl is None:
+            return lambda R: dv * R
+        from ..solvers.twolevel import make_preconditioner
+        return make_preconditioner(tl, dinv, f32=f32)
+
     if precision == "f64":
-        res = krylov(A64, RHS, M=lambda R: dinv * R, rtol=rtol,
+        res = krylov(A64, RHS, X0=X0, M=make_M(False), rtol=rtol,
                      maxiter=maxiter, chunk_iters=chunk_iters)
         X = res.X
         iters, resnorm = res.iters, res.resnorm
     elif precision == "f32":
         _, A32, _ = _batched_operator(sys, D_vec, mu_vec, R_batch, f32=True)
-        dinv32 = dinv.astype(jnp.float32)
         res = krylov(A32, RHS.astype(jnp.float32),
-                     M=lambda R: dinv32 * R, rtol=max(rtol, 1e-6),
+                     X0=X0.astype(jnp.float32),
+                     M=make_M(True), rtol=max(rtol, 1e-6),
                      maxiter=maxiter, chunk_iters=chunk_iters)
         X = res.X.astype(jnp.float64)
         iters, resnorm = res.iters, res.resnorm
     else:  # mixed: f32 inner + f64 refinement (host loop)
         _, A32, _ = _batched_operator(sys, D_vec, mu_vec, R_batch, f32=True)
-        dinv32 = dinv.astype(jnp.float32)
+        M32 = make_M(True)
         bnorm = np.asarray(jnp.linalg.norm(RHS, axis=0))
         tol = rtol * bnorm
-        X = jnp.zeros_like(RHS)
+        X = X0
         total_iters = np.zeros(B, dtype=np.int64)
         resnorm = bnorm.copy()
         for _ in range(12):
@@ -322,7 +341,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
             if (resnorm <= tol).all():
                 break
             res = krylov(A32, Rres.astype(jnp.float32),
-                         M=lambda R: dinv32 * R, rtol=1e-4,
+                         M=M32, rtol=1e-4,
                          maxiter=maxiter, chunk_iters=chunk_iters)
             X = X + res.X.astype(jnp.float64)
             total_iters += res.iters

@@ -35,7 +35,7 @@ from .models.stokes_flow import stokes_solve, stokes_zero_fields
 from .params import Parameters
 from .utils.timers import StageTimer
 
-__all__ = ["run_simulation", "get_mesh", "clear_mesh_cache"]
+__all__ = ["run_simulation", "get_mesh", "get_coarse_mesh", "clear_mesh_cache"]
 
 MODE_NAME = {
     "adv-diff": "Adv-Diff",
@@ -50,14 +50,32 @@ def clear_mesh_cache():
     _MESH_CACHE.clear()
 
 
-def get_mesh(params: Parameters, domain_type: str) -> MeshData:
-    """Generate (or fetch cached) mesh for the given parameters."""
+def get_mesh(params: Parameters, domain_type: str,
+             coarsen: float = 1.0) -> MeshData:
+    """Generate (or fetch cached) mesh for the given parameters.
+
+    coarsen > 1 produces the matching coarse mesh (same geometry, h scaled)
+    used by the two-level preconditioner (solvers/twolevel.py).
+    """
     gp = params.get_mesh_generator_params()
+    if coarsen != 1.0:
+        gp = dict(gp)
+        gp["mesh_size"] = gp["mesh_size"] * coarsen
+        gp["refinement_factor"] = 1
     key = (domain_type, gp["width"], gp["height"], gp["sulcus_depth"],
            gp["sulcus_width"], gp["mesh_size"], gp["refinement_factor"])
     if key not in _MESH_CACHE:
         _MESH_CACHE[key] = generate_mesh(domain_type=domain_type, **gp)
     return _MESH_CACHE[key]
+
+
+def get_coarse_mesh(params: Parameters, domain_type: str,
+                    threshold=0.08, factor=4.0):
+    """Coarse companion mesh for preconditioning, or None if the fine mesh
+    is already coarse enough that Jacobi alone is fine."""
+    if params.mesh_size >= threshold:
+        return None
+    return get_mesh(params, domain_type, coarsen=factor)
 
 
 def _save_paraview(mesh, u, p, c, paraview_dir):

@@ -34,7 +34,7 @@ from ..models.stokes_flow import stokes_solve
 from ..params import Parameters, StepUptakeOpen
 from ..parallel.sweep import (build_transport_system, robin_matrices_for_mu,
                               solve_sweep)
-from ..simulation import get_mesh
+from ..simulation import get_coarse_mesh, get_mesh
 from .common import save_csv, save_metadata
 
 __all__ = ["run_advdiff_step_validation", "replot_from_csv",
@@ -110,9 +110,11 @@ def run_advdiff_step_validation(
                                    u_space=u_s.space)
     D_batch = [1.0 / Pe for Pe, _ in cells]
     mu_batch = [float(mf) for _, mf in cells]
+    coarse_s = get_coarse_mesh(p0, "sulcus")
     t1 = time.time()
     Xs, info_s = solve_sweep(sys_s, D_batch, mu_values=mu_batch,
-                             rtol=rtol, precision=precision)
+                             rtol=rtol, precision=precision,
+                             coarse_mesh=coarse_s)
     if verbose:
         print(f"[sulcus] {len(cells)} transport solves in "
               f"{time.time()-t1:.1f}s (iters={info_s['iters'].tolist()})")
@@ -168,9 +170,11 @@ def run_advdiff_step_validation(
         steps.append(step)
     R_batch = np.stack([np.asarray(robin_matrices_for_mu(sys_r, s))
                         for s in steps])
+    coarse_r = get_coarse_mesh(p0, "rectangular")
     t1 = time.time()
     Xr, info_r = solve_sweep(sys_r, D_batch, robin_matrices=R_batch,
-                             rtol=rtol, precision=precision)
+                             rtol=rtol, precision=precision,
+                             coarse_mesh=coarse_r)
     if verbose:
         print(f"[rect] {len(cells)} surrogate solves in "
               f"{time.time()-t1:.1f}s (iters={info_r['iters'].tolist()})")

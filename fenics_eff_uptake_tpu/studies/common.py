@@ -21,8 +21,8 @@ from ..analysis.mu_eff import compute_mu_eff_metrics
 from ..fem.space import Function, FunctionSpace
 from ..meshing.mesh_data import MeshData
 from ..params import Parameters
-from ..parallel.sweep import build_mu_sweep_system, solve_mu_sweep
-from ..simulation import get_mesh
+from ..parallel.sweep import build_transport_system, solve_sweep
+from ..simulation import get_coarse_mesh, get_mesh
 
 __all__ = ["make_no_adv_params", "no_adv_batch", "create_study_dirs",
            "save_csv", "save_metadata"]
@@ -56,11 +56,14 @@ def no_adv_batch(geom_params: Parameters, mu_factors: List[float],
     """
     t0 = time.time()
     mesh = get_mesh(geom_params, domain_type)
-    sys = build_mu_sweep_system(mesh, D=geom_params.D, element="P2")
+    coarse = get_coarse_mesh(geom_params, domain_type)
+    sys = build_transport_system(mesh, element="P2")
     # nondimensional mu* values for this sweep
     scale = geom_params.H_dim / geom_params.D_dim
     mus = [Parameters.MU_DIM_NO_ADV * f * scale for f in mu_factors]
-    X, info = solve_mu_sweep(sys, mus, rtol=rtol, maxiter=maxiter)
+    D_batch = [geom_params.D] * len(mus)
+    X, info = solve_sweep(sys, D_batch, mu_values=mus, rtol=rtol,
+                          maxiter=maxiter, coarse_mesh=coarse)
     if verbose:
         print(f"  [batch] {domain_type} "
               f"w={geom_params.sulci_w_dim} h={geom_params.sulci_h_dim}: "

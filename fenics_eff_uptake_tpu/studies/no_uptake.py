@@ -31,7 +31,7 @@ from ..fem.space import Function
 from ..models.stokes_flow import stokes_solve
 from ..params import Parameters, create_geometry_variations
 from ..parallel.sweep import build_transport_system, solve_sweep
-from ..simulation import get_mesh
+from ..simulation import get_coarse_mesh, get_mesh
 from .common import create_study_dirs, save_csv, save_metadata
 
 __all__ = ["run_geometry_study", "run_rectangular_baselines",
@@ -117,7 +117,8 @@ def run_rectangular_baselines(peclet_numbers=None, mesh_size_dim=None,
     sys = build_transport_system(mesh, u_values=u.values, u_space=u.space)
     D_batch = [1.0 / pe for pe in peclet_numbers]
     X, info = solve_sweep(sys, D_batch, mu_values=[0.0] * len(D_batch),
-                          precision=precision)
+                          precision=precision,
+                          coarse_mesh=get_coarse_mesh(p0, "rectangular"))
     rows = []
     for i, pe in enumerate(peclet_numbers):
         params = _make_params(pe, mesh_size_dim=mesh_size_dim)
@@ -271,7 +272,8 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
             D_batch = [1.0 / pe for pe in peclet_numbers]
             X, info = solve_sweep(sys, D_batch,
                                   mu_values=[0.0] * len(D_batch),
-                                  precision=precision)
+                                  precision=precision,
+                                  coarse_mesh=get_coarse_mesh(p0, "sulcus"))
             vm = None
             for i, pe in enumerate(peclet_numbers):
                 params = _make_params(pe, w, h, mesh_size_dim)
