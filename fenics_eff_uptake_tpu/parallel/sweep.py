@@ -298,6 +298,16 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
     dinv = jnp.where(free[:, None] & (diag != 0),
                      1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
 
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("FEU_TIMING") == "1"
+
+    def _t(msg, t0):
+        if _dbg:
+            print(f"[sweep] {msg}: {_time.time() - t0:.1f}s", flush=True)
+        return _time.time()
+
+    _tt = _time.time()
     # optional two-level (coarse-grid) preconditioner
     tl = twolevel
     if tl is None and coarse_mesh is not None:
@@ -306,6 +316,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                             mu_values=np.asarray(mu_values),
                             robin_matrices_coarse=robin_coarse,
                             u_coarse=u_coarse)
+    _tt = _t("twolevel build", _tt)
 
     def make_M(f32):
         dv = dinv.astype(jnp.float32) if f32 else dinv
@@ -335,14 +346,18 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         X = X0
         total_iters = np.zeros(B, dtype=np.int64)
         resnorm = bnorm.copy()
-        for _ in range(12):
+        for _ref in range(12):
             Rres = RHS - A64(X)
             resnorm = np.asarray(jnp.linalg.norm(Rres, axis=0))
+            _tt = _t(f"refine {_ref}: f64 residual "
+                     f"(max {resnorm.max():.2e})", _tt)
             if (resnorm <= tol).all():
                 break
             res = krylov(A32, Rres.astype(jnp.float32),
                          M=M32, rtol=1e-4,
                          maxiter=maxiter, chunk_iters=chunk_iters)
+            _tt = _t(f"refine {_ref}: f32 inner "
+                     f"({int(res.iters.max())} iters)", _tt)
             X = X + res.X.astype(jnp.float64)
             total_iters += res.iters
         iters = total_iters

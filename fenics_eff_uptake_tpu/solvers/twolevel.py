@@ -42,8 +42,7 @@ class TwoLevelData(NamedTuple):
     perm: jnp.ndarray        # scatter plan for P^T
     ids_sorted: jnp.ndarray
     n_coarse: int
-    chol: jnp.ndarray        # (B, nc, nc) Cholesky factors (lower)
-    chol32: jnp.ndarray
+    Ainv: jnp.ndarray        # (B, nc, nc) f32 explicit coarse inverses
     theta: float
 
 
@@ -131,28 +130,26 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
     if R_c is not None:
         R_c = constrain(R_c)
 
-    # batch the coefficient combination + Cholesky ON DEVICE in f32 (the
-    # preconditioner's precision doesn't limit final accuracy, and f32
-    # dense Cholesky is pure MXU work)
-    Kd = jnp.asarray(K_c, dtype=jnp.float32)
-    A_b = jnp.asarray(D_vec, dtype=jnp.float32)[:, None, None] * Kd[None]
-    if Advsym is not None:
-        A_b = A_b + jnp.asarray(Advsym, dtype=jnp.float32)[None]
-    if R_c is not None:
-        if robin_matrices_coarse is not None:
-            Rb = np.stack([dense_of(csys.R, robin_matrices_coarse[b])
-                           for b in range(B)])
-            for b in range(B):
-                constrain(Rb[b])
-            A_b = A_b + jnp.asarray(Rb, dtype=jnp.float32)
-        else:
-            A_b = A_b + (jnp.asarray(mu_vec, dtype=jnp.float32)[:, None,
-                                                                None]
-                         * jnp.asarray(R_c, dtype=jnp.float32)[None])
-    # tiny diagonal lift for f32 robustness
-    eye = jnp.eye(nc, dtype=jnp.float32)
-    A_b = A_b + 1e-6 * jnp.diagonal(A_b, axis1=1, axis2=2).mean() * eye
-    chol = jnp.linalg.cholesky(A_b)                       # (B, nc, nc) f32
+    # coefficient combination + inversion on HOST (numpy): factorisations
+    # lower to sequential triangular kernels that are pathologically slow
+    # on the TPU runtime, and this is a one-time setup cost.  The EXPLICIT
+    # inverse makes the runtime coarse correction one dense
+    # (nc x nc) @ (nc x B) matmul per preconditioner application -- pure
+    # MXU work.  f32 is plenty for a preconditioner.
+    Ainvs = []
+    for b in range(B):
+        A = D_vec[b] * K_c
+        if Advsym is not None:
+            A = A + Advsym
+        if R_c is not None:
+            if robin_matrices_coarse is not None:
+                Rb = constrain(dense_of(csys.R, robin_matrices_coarse[b]))
+                A = A + Rb
+            else:
+                A = A + mu_vec[b] * R_c
+        A = A + 1e-6 * np.abs(np.diag(A)).mean() * np.eye(nc)
+        Ainvs.append(np.linalg.inv(A).astype(np.float32))
+    Ainv = jnp.asarray(np.stack(Ainvs))                   # (B, nc, nc) f32
 
     # interpolation from coarse P1 vertices to fine scalar dofs
     fine_coords = sys.space.dof_coords
@@ -166,35 +163,33 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
         perm=jnp.asarray(perm, dtype=jnp.int32),
         ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
         n_coarse=nc,
-        chol=chol,
-        chol32=chol,
+        Ainv=Ainv,
         theta=float(theta),
     )
 
 
 def make_preconditioner(tl: TwoLevelData, dinv, f32=False):
     """M^{-1}: (n, B) -> (n, B), additive Jacobi + coarse correction."""
-    chol = tl.chol32 if f32 else tl.chol
-    w = tl.weights
-    solve_tri = jax.scipy.linalg.solve_triangular
+    w32 = tl.weights.astype(jnp.float32)
 
     def apply(R):
-        Rw = R.astype(chol.dtype)
+        Rw = R.astype(jnp.float32)
         # P^T r: scatter-add weighted residuals to coarse vertices
-        contrib = (w[:, :, None].astype(Rw.dtype)
-                   * Rw[:, None, :])                     # (n,3,B)
+        contrib = w32[:, :, None] * Rw[:, None, :]        # (n,3,B)
         n, _, B = contrib.shape
         flat = contrib.reshape(n * 3, B)[tl.perm]
         rc = jax.ops.segment_sum(flat, tl.ids_sorted,
                                  num_segments=tl.n_coarse,
                                  indices_are_sorted=True)  # (nc,B)
-        # batched dense solve: A_c = L L^T per column
-        rcb = jnp.moveaxis(rc, 1, 0)[..., None]           # (B,nc,1)
-        y = solve_tri(chol, rcb, lower=True)
-        xc = solve_tri(jnp.swapaxes(chol, 1, 2), y, lower=False)
-        xc = jnp.moveaxis(xc[..., 0], 0, 1)               # (nc,B)
+        # coarse correction: one batched dense matmul (MXU)
+        xc = jnp.einsum("bij,jb->ib", tl.Ainv, rc,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (nc,B)
         # P xc: gather + weight
-        fine = jnp.einsum("nk,nkb->nb", w.astype(Rw.dtype), xc[tl.cols])
-        return (tl.theta * dinv.astype(Rw.dtype) * Rw + fine).astype(R.dtype)
+        fine = jnp.einsum("nk,nkb->nb", w32, xc[tl.cols],
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        out = tl.theta * dinv.astype(jnp.float32) * Rw + fine
+        return out.astype(R.dtype)
 
     return apply
