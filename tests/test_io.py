@@ -1,0 +1,81 @@
+"""IO tests: MSH2 round-trip + ingestion, VTK writers, results JSON."""
+
+import os
+
+import numpy as np
+
+from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+from fenics_eff_uptake_tpu.meshing.geometry import SulcusGeometry
+from fenics_eff_uptake_tpu.meshing.msh_io import (mesh_from_msh2, read_msh2,
+                                                  write_msh2)
+
+
+def test_msh2_roundtrip(tmp_path):
+    md = generate_mesh(width=5.0, height=1.0, sulcus_depth=0.5,
+                       sulcus_width=0.5, mesh_size=0.2,
+                       refinement_factor=1, domain_type="sulcus")
+    path = str(tmp_path / "mesh.msh")
+    write_msh2(path, md.vertices, md.cells)
+    data = read_msh2(path)
+    assert data["vertices"].shape == md.vertices.shape
+    assert data["triangles"].shape == md.cells.shape
+    assert np.allclose(data["vertices"], md.vertices)
+    # full ingestion: markers rebuilt identically
+    geom = SulcusGeometry(5.0, 1.0, 0.5, 0.5, 0.2)
+    md2 = mesh_from_msh2(path, geom, "sulcus")
+    assert md2.num_cells == md.num_cells
+    assert abs(md2.cell_areas().sum() - md.cell_areas().sum()) < 1e-12
+    # same marker structure (sets may be ordered differently)
+    for attr in ("bc_marker", "bottom_marker", "y0_marker"):
+        a = np.sort(getattr(md, attr))
+        b = np.sort(getattr(md2, attr))
+        assert (a == b).all(), attr
+    assert len(md2.interior_y0) == len(md.interior_y0)
+
+
+def test_msh2_tags_preserved(tmp_path):
+    # hand-written tiny msh with physical tags on lines
+    content = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+$EndNodes
+$Elements
+4
+1 2 2 5 1 1 2 3
+2 2 2 5 1 1 3 4
+3 1 2 7 2 1 2
+4 1 2 8 2 2 3
+$EndElements
+"""
+    path = str(tmp_path / "tiny.msh")
+    with open(path, "w") as f:
+        f.write(content)
+    data = read_msh2(path)
+    assert data["triangles"].shape == (2, 3)
+    assert (data["triangle_tags"] == 5).all()
+    assert data["lines"].shape == (2, 2)
+    assert list(data["line_tags"]) == [7, 8]
+
+
+def test_vtk_writers(tmp_path):
+    from fenics_eff_uptake_tpu.models.diffusion import pure_diffusion_solve
+    from fenics_eff_uptake_tpu.utils.vtk import (write_vtk_cell_scalar,
+                                                 write_vtk_point_scalar)
+    md = generate_mesh(width=2.0, height=1.0, sulcus_depth=0.3,
+                       sulcus_width=0.3, mesh_size=0.2,
+                       refinement_factor=1, domain_type="sulcus")
+    c = pure_diffusion_solve(md, D=1.0, mu=1.0, element="P1")
+    p1 = str(tmp_path / "c.vtk")
+    write_vtk_point_scalar(p1, c)
+    p2 = str(tmp_path / "dom.vtk")
+    write_vtk_cell_scalar(p2, md, md.cell_domain)
+    for p in (p1, p2):
+        txt = open(p).read()
+        assert "UNSTRUCTURED_GRID" in txt
+        assert f"POINTS {md.num_vertices}" in txt
