@@ -189,7 +189,23 @@ def run_simulation(mode, study_type, config_name, domain_type,
             from .plotting.single import plot_single_simulation
             plot_single_simulation(results, dirs["Analysis Plots"])
 
-    # 6) exports
+    # 6) exports (mesh artifacts: own .msh + .npz instead of the
+    # reference's .geo/.msh/.xml triple, ref mesh.py:121-132)
+    if save_outputs:
+        with timer.stage("mesh_io"):
+            from .meshing.msh_io import write_msh2
+            base_name = ("sulcus_mesh" if domain_type == "sulcus"
+                         else "rect_mesh")
+            write_msh2(os.path.join(dirs["Mesh Files"],
+                                    base_name + ".msh"),
+                       mesh.vertices, mesh.cells)
+            np.savez_compressed(
+                os.path.join(dirs["Mesh Files"], base_name + ".npz"),
+                vertices=mesh.vertices, cells=mesh.cells,
+                cell_domain=mesh.cell_domain,
+                bc_marker=mesh.bc_marker,
+                bottom_marker=mesh.bottom_marker,
+                y0_marker=mesh.y0_marker)
     if save_paraview and save_outputs:
         with timer.stage("paraview"):
             _save_paraview(mesh, u, p, c, dirs["ParaView Files"])
