@@ -145,3 +145,19 @@ def test_conc_profiles_structure(sulcus_solution):
     n_sulcus = prof["profiles"]["horizontal"]["sulcus_mid"]["n_samples"]
     n_mid = prof["profiles"]["horizontal"]["mid_channel"]["n_samples"]
     assert n_sulcus < n_mid
+
+
+def test_boundary_flux_export(sulcus_solution, tmp_path):
+    from fenics_eff_uptake_tpu.analysis.boundary_export import (
+        export_boundary_flux_comparison)
+    md, c = sulcus_solution
+    out = export_boundary_flux_comparison(c, 1.0, 1.0, md, str(tmp_path))
+    assert out is not None
+    assert (tmp_path / "boundary_flux_comparison.csv").exists()
+    assert (tmp_path / "flux_bottom.vtk").exists()
+    # on the Robin boundary the facet-averaged physical and Robin fluxes
+    # should broadly agree (same quantity, discretisation-level gap)
+    import numpy as np
+    rel = abs(out["physical"].sum() - out["robin"].sum()) / abs(
+        out["robin"].sum())
+    assert rel < 0.05
