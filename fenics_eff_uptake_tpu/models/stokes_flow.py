@@ -42,12 +42,39 @@ def stokes_zero_fields(mesh: MeshData):
 
 def stokes_solve(mesh: MeshData, H: float,
                  inner_rtol=5e-13, outer_rtol=1e-11,
-                 outer_maxiter=400):
+                 outer_maxiter=400, precision=None):
     """Solve Stokes flow; returns (u Function on V, p Function on Q)."""
+    import jax
+
+    if precision is None:
+        precision = ("mixed" if jax.default_backend() == "tpu" else "f64")
     V, Q = taylor_hood_spaces(mesh)
-    A = SumOperator([vector_stiffness_block(V)], V.ndofs)
+    Ablk = vector_stiffness_block(V)
+    A = SumOperator([Ablk], V.ndofs)
     B = divergence_block(Q, V)
     Mp = mass_block(Q)
+
+    # column-wise operator applies for the chunked solver ((n,1) layout)
+    import jax.numpy as jnp
+    A64_e = Ablk.A_e
+    A32_e = Ablk.A_e.astype(jnp.float32)
+    dofs = Ablk.entity_dofs
+    perm = Ablk.scatter.perm
+    ids_sorted = Ablk.scatter.ids_sorted
+    ndofs = V.ndofs
+
+    def _apply_cols(Ae, X):
+        Xe = X[dofs]                                   # (N, nd, B)
+        Ye = jnp.einsum("nij,njb->nib", Ae, Xe,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=X.dtype)
+        N, nd, Bc = Ye.shape
+        return jax.ops.segment_sum(Ye.reshape(N * nd, Bc)[perm],
+                                   ids_sorted, num_segments=ndofs,
+                                   indices_are_sorted=True)
+
+    A_apply_col = lambda X: _apply_cols(A64_e, X)
+    A_apply32_col = lambda X: _apply_cols(A32_e, X)
 
     def inflow(x, y):
         # Poiseuille profile (ref solvers.py:254-258)
@@ -67,16 +94,18 @@ def stokes_solve(mesh: MeshData, H: float,
     mp_inv = 1.0 / jnp.where(mp_lump > 0, mp_lump, 1.0)
 
     res = stokes_schur_cg(
-        A.apply, B, bc,
+        A_apply_col, B, bc,
         Mp_inv=lambda r: mp_inv * r,
         A_diag=A.diagonal(),
+        A_apply32=A_apply32_col,
         inner_rtol=inner_rtol, outer_rtol=outer_rtol,
-        outer_maxiter=outer_maxiter)
+        outer_maxiter=outer_maxiter, precision=precision)
 
     u = Function(V, res.u)
     p = Function(Q, res.p)
     info = {
         "outer_iters": int(res.outer_iters),
+        "inner_iters": int(res.inner_iters),
         "resnorm": float(res.resnorm),
         "converged": bool(res.converged),
     }

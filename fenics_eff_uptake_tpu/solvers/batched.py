@@ -43,6 +43,22 @@ def _colnorm(X):
     return jnp.sqrt(jnp.sum(X * X, axis=0))
 
 
+_CHUNK_CACHE = {}
+
+
+def _cached_chunk(builder, A, M, n_iters):
+    """Cache jitted chunks by operator/preconditioner identity: repeated
+    solves with the same closures (e.g. Stokes inner solves, sweep
+    refinement passes) must not re-trace."""
+    key = (builder.__name__, id(A), id(M), n_iters)
+    hit = _CHUNK_CACHE.get(key)
+    if hit is not None and hit[1] is A and hit[2] is M:
+        return hit[0]
+    fn = builder(A, M, n_iters)
+    _CHUNK_CACHE[key] = (fn, A, M)
+    return fn
+
+
 def _cg_chunk(A, M, n_iters):
     """Jitted CG chunk: advances all columns n_iters steps (frozen when
     converged)."""
@@ -88,7 +104,7 @@ def batched_cg(A: Callable, B_rhs, M: Optional[Callable] = None,
     P = Z
     rz = jnp.sum(R * Z, axis=0)
     X = X0
-    chunk = _cg_chunk(A, M, chunk_iters)
+    chunk = _cached_chunk(_cg_chunk, A, M, chunk_iters)
 
     iters = 0
     rn = np.asarray(_colnorm(R))
@@ -156,7 +172,7 @@ def batched_bicgstab(A: Callable, B_rhs, M: Optional[Callable] = None,
     zerosV = jnp.zeros_like(B_rhs)
     X, P, V = X0, zerosV, zerosV
     rho = alpha = omega = ones
-    chunk = _bicgstab_chunk(A, M, chunk_iters)
+    chunk = _cached_chunk(_bicgstab_chunk, A, M, chunk_iters)
 
     iters = 0
     rn = np.asarray(_colnorm(R))

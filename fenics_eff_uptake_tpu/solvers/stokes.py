@@ -11,9 +11,11 @@ is reduced to the SPD pressure Schur complement S = B A^{-1} B^T:
 
     S p = B u0,   u0 = A^{-1} f   (BCs folded into A-solves)
 
-solved by outer CG preconditioned with the lumped pressure mass matrix
-(spectrally equivalent to S for Stokes), inner Jacobi-CG for each A-solve.
-Fully jittable: nested lax.while_loops, fixed shapes.
+Outer CG on S runs on the HOST (tens of iterations, one inner solve each);
+inner A-solves use the chunked batched CG engine (solvers/batched.py) so no
+single device dispatch exceeds the TPU runtime's execution cap, optionally
+in mixed f32/f64 precision (TPU default).  The outer preconditioner is the
+lumped pressure mass matrix (spectrally equivalent to S for Stokes).
 
 Pressure level: with the do-nothing outlet (right boundary traction-free)
 the pressure is determined by the weak form itself; the reference's
@@ -24,12 +26,13 @@ no explicit pin is applied here either.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .cg import cg, jacobi_preconditioner
+from .batched import batched_cg
 
 __all__ = ["stokes_schur_cg", "StokesResult"]
 
@@ -37,88 +40,143 @@ __all__ = ["stokes_schur_cg", "StokesResult"]
 class StokesResult(NamedTuple):
     u: jnp.ndarray
     p: jnp.ndarray
-    outer_iters: jnp.ndarray
-    resnorm: jnp.ndarray
-    converged: jnp.ndarray
+    outer_iters: int
+    inner_iters: int
+    resnorm: float
+    converged: bool
+
+
+def _col(x):
+    return x[:, None]
 
 
 def stokes_schur_cg(A_apply: Callable, B, bc, f=None,
                     Mp_inv: Callable = None, A_diag=None,
-                    inner_rtol=5e-13, inner_maxiter=20000,
-                    outer_rtol=1e-11, outer_maxiter=300):
-    """Solve the constrained Stokes saddle system.
+                    A_apply32: Optional[Callable] = None,
+                    inner_rtol=1e-12, inner_maxiter=6000,
+                    outer_rtol=1e-11, outer_maxiter=300,
+                    precision="f64", chunk_iters=150):
+    """Solve the constrained Stokes saddle system (host-orchestrated).
 
-    A_apply: unconstrained velocity-block operator (SumOperator.apply)
-    B:       RectBlock (pressure rows x velocity cols)
-    bc:      BCData on the velocity space (inlet + no-slip)
-    f:       velocity rhs (defaults to 0)
-    Mp_inv:  pressure preconditioner (lumped mass inverse)
+    A_apply: unconstrained velocity-block operator on (n,1) columns
+    A_apply32: same in f32 (enables mixed-precision inner solves)
+    B: RectBlock (pressure rows x velocity cols)
+    bc: BCData on the velocity space; Mp_inv: pressure preconditioner.
     """
-    nu = bc.values.shape[0]
-    np_ = B.row_scatter.ndofs
+    free = bc.free
+    g = bc.values
+    nu = g.shape[0]
     if f is None:
-        f = jnp.zeros(nu, dtype=bc.values.dtype)
+        f = jnp.zeros(nu, dtype=g.dtype)
     if Mp_inv is None:
         Mp_inv = lambda r: r
-    pre_u = (jacobi_preconditioner(A_diag, bc.free)
-             if A_diag is not None else None)
 
-    def A_bc(x):
-        x0 = jnp.where(bc.free, x, 0.0)
-        y = A_apply(x0)
-        return jnp.where(bc.free, y, x)
+    dinv = None
+    if A_diag is not None:
+        d = jnp.where(free & (A_diag != 0), A_diag, 1.0)
+        dinv = jnp.where(free, 1.0 / d, 1.0)[:, None]
 
-    def solve_A(rhs_free, x0):
-        """A^{-1} with Dirichlet dofs pinned to rhs_free's bc entries."""
-        res = cg(A_bc, rhs_free, x0=x0, M=pre_u,
-                 rtol=inner_rtol, maxiter=inner_maxiter)
-        return res.x
+    freeC = free[:, None]
+
+    def A_bc(X):
+        Y = A_apply(jnp.where(freeC, X, 0.0))
+        return jnp.where(freeC, Y, X)
+
+    mixed = precision == "mixed" and A_apply32 is not None
+    if mixed:
+        dinv32 = dinv.astype(jnp.float32) if dinv is not None else None
+        M32 = ((lambda r: dinv32 * r) if dinv32 is not None else None)
+
+        def A_bc32(X):
+            Y = A_apply32(jnp.where(freeC, X, 0.0))
+            return jnp.where(freeC, Y, X)
+
+    inner_count = 0
+
+    def solve_A(rhs_col, x0_col):
+        """A^{-1} rhs on free dofs (rhs/x0 are (n,1) with bc entries)."""
+        nonlocal inner_count
+        if not mixed:
+            res = batched_cg(A_bc, rhs_col, X0=x0_col,
+                             M=(lambda R: dinv * R) if dinv is not None
+                             else None,
+                             rtol=inner_rtol, maxiter=inner_maxiter,
+                             chunk_iters=chunk_iters)
+            inner_count += int(res.iters.max())
+            return res.X
+        # mixed: f32 inner + f64 refinement.  The inner accuracy floor is
+        # relaxed (1e-9): the outer Schur CG tolerates it and each extra
+        # decade costs a full refinement sweep.
+        X = x0_col
+        bnorm = float(jnp.linalg.norm(rhs_col))
+        target = max(inner_rtol, 1e-9)
+        for _ in range(6):
+            R = rhs_col - A_bc(X)
+            rn = float(jnp.linalg.norm(R))
+            if rn <= target * max(bnorm, 1e-300):
+                break
+            res = batched_cg(A_bc32, R.astype(jnp.float32),
+                             M=M32,
+                             rtol=1e-4, maxiter=inner_maxiter,
+                             chunk_iters=chunk_iters)
+            inner_count += int(res.iters.max())
+            X = X + res.X.astype(X.dtype)
+        return X
 
     # u0 = A^{-1} f with bc values g
-    g = bc.values
-    rhs0 = jnp.where(bc.free, f - A_apply(g), g)
-    u0 = solve_A(rhs0, g)
+    rhs0 = jnp.where(free, f - A_apply(_col(g))[:, 0], g)[:, None]
+    u0 = solve_A(rhs0, _col(g))
 
-    # Schur operator: S q = B A_ff^{-1} (B^T q)_free
-    def S(q, w_prev):
-        rhs = jnp.where(bc.free, B.apply_t(q), 0.0)
-        w = solve_A(rhs, w_prev)
-        return B.apply(w), w
-
-    b_p = B.apply(u0)
-    bnorm = jnp.linalg.norm(b_p)
+    b_p = B.apply(u0[:, 0])
+    bnorm = float(jnp.linalg.norm(b_p))
     tol = outer_rtol * bnorm
 
-    p0 = jnp.zeros(np_, dtype=f.dtype)
-    r0 = b_p
-    z0 = Mp_inv(r0)
-    d0 = z0
-    rz0 = jnp.vdot(r0, z0)
-    w0 = jnp.zeros(nu, dtype=f.dtype)
-
-    def cond(state):
-        p, r, z, d, rz, w, k = state
-        return (jnp.linalg.norm(r) > tol) & (k < outer_maxiter)
-
-    def body(state):
-        p, r, z, d, rz, w, k = state
-        Sd, w = S(d, w)
-        dSd = jnp.vdot(d, Sd)
-        alpha = rz / jnp.where(dSd != 0, dSd, 1.0)
+    # host-side outer FLEXIBLE CG on the Schur complement: the S
+    # applications are inexact (inner Krylov), so use the Polak-Ribiere
+    # beta and guard against breakdown (restart on non-positive curvature).
+    p = jnp.zeros_like(b_p)
+    r = b_p
+    z = Mp_inv(r)
+    d = z
+    rz = float(jnp.vdot(r, z))
+    r_old = r
+    w_prev = jnp.zeros_like(u0)
+    k = 0
+    rn = float(jnp.linalg.norm(r))
+    while rn > tol and k < outer_maxiter:
+        rhs = jnp.where(free, B.apply_t(d), 0.0)[:, None]
+        w = solve_A(rhs, w_prev)
+        w_prev = w
+        Sd = B.apply(w[:, 0])
+        dSd = float(jnp.vdot(d, Sd))
+        if not np.isfinite(dSd) or dSd <= 0.0:
+            # lost conjugacy to inexactness: restart with steepest descent
+            d = z
+            rhs = jnp.where(free, B.apply_t(d), 0.0)[:, None]
+            w = solve_A(rhs, w_prev)
+            w_prev = w
+            Sd = B.apply(w[:, 0])
+            dSd = float(jnp.vdot(d, Sd))
+            if not np.isfinite(dSd) or dSd <= 0.0:
+                break
+        alpha = rz / dSd
         p = p + alpha * d
+        r_old = r
         r = r - alpha * Sd
         z = Mp_inv(r)
-        rz_new = jnp.vdot(r, z)
-        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        # flexible (Polak-Ribiere) beta tolerates inexact S
+        rz_new = float(jnp.vdot(r, z))
+        beta = float(jnp.vdot(r - r_old, z)) / rz if rz != 0 else 0.0
+        beta = max(beta, 0.0)
         d = z + beta * d
-        return (p, r, z, d, rz_new, w, k + 1)
-
-    p, r, z, d, rz, w, k = jax.lax.while_loop(
-        cond, body, (p0, r0, z0, d0, rz0, w0, jnp.array(0)))
+        rz = rz_new
+        rn = float(jnp.linalg.norm(r))
+        k += 1
 
     # final velocity: u = A^{-1}(f - B^T p) with bc values
-    rhs_u = jnp.where(bc.free, f - A_apply(g) - B.apply_t(p), g)
+    rhs_u = jnp.where(free, f - A_apply(_col(g))[:, 0] - B.apply_t(p),
+                      g)[:, None]
     u = solve_A(rhs_u, u0)
-    rn = jnp.linalg.norm(r)
-    return StokesResult(u=u, p=p, outer_iters=k, resnorm=rn,
-                        converged=rn <= tol)
+    return StokesResult(u=u[:, 0], p=p, outer_iters=k,
+                        inner_iters=inner_count,
+                        resnorm=rn, converged=rn <= tol)
