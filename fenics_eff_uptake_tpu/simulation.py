@@ -209,6 +209,8 @@ def run_simulation(mode, study_type, config_name, domain_type,
     if save_paraview and save_outputs:
         with timer.stage("paraview"):
             _save_paraview(mesh, u, p, c, dirs["ParaView Files"])
+            from .meshing.visualization import save_mesh_visualization
+            save_mesh_visualization(mesh, dirs["ParaView Files"])
     if save_outputs:
         results_file = os.path.join(dirs["Results Data"],
                                     "simulation_results.json")

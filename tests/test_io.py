@@ -79,3 +79,27 @@ def test_vtk_writers(tmp_path):
         txt = open(p).read()
         assert "UNSTRUCTURED_GRID" in txt
         assert f"POINTS {md.num_vertices}" in txt
+
+
+def test_mesh_visualization_export(tmp_path):
+    from fenics_eff_uptake_tpu.meshing.visualization import (
+        save_mesh_visualization)
+    md = generate_mesh(width=3.0, height=1.0, sulcus_depth=0.4,
+                       sulcus_width=0.4, mesh_size=0.2,
+                       refinement_factor=1, domain_type="sulcus")
+    save_mesh_visualization(md, str(tmp_path))
+    files = sorted(os.listdir(tmp_path))
+    assert "sulcus_mesh.vtk" in files
+    assert "sulcus_bc_markers.vtk" in files
+    normals = os.listdir(tmp_path / "normals")
+    assert any("bottom" in n for n in normals)
+    assert any("left" in n for n in normals)
+    # normals on the flat bottom point downward
+    import numpy as np
+    for n in normals:
+        if "id4" in n:
+            txt = (tmp_path / "normals" / n).read_text()
+            vecs = [l.split() for l in
+                    txt.split("VECTORS normal double\n")[1].splitlines()]
+            vecs = np.array(vecs, dtype=float)
+            assert (vecs[:, 1] < 0.5).all()  # mostly downward/outward
