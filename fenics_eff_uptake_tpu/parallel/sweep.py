@@ -49,6 +49,11 @@ def default_precision():
     return "mixed" if jax.default_backend() == "tpu" else "f64"
 
 
+def _use_pallas():
+    from ..ops.pallas_kernels import use_pallas
+    return use_pallas()
+
+
 class _Block(NamedTuple):
     A64: jnp.ndarray
     A32: jnp.ndarray
@@ -75,22 +80,34 @@ class _Block(NamedTuple):
             de.reshape(-1)[self.perm], self.ids_sorted,
             num_segments=self.ndofs, indices_are_sorted=True)
 
-    def apply_batched(self, X, f32=False, A_override=None):
+    def apply_batched(self, X, f32=False, A_override=None, coef=None):
         """(n, B) -> (n, B), batch in the minor (lane) dimension.
 
-        A_override may be (N, nd, nd) shared or (B, N, nd, nd) per-sample.
+        A_override may be (N, nd, nd) shared or (B, N, nd, nd) per-sample;
+        coef (B,) optionally fuses the per-column coefficient scaling.
         """
         A = A_override if A_override is not None else (
             self.A32 if f32 else self.A64)
         Xe = X[self.dofs]                         # (N, nd, B)
-        # force true-f32 accumulation: TPU einsum defaults to bf16 passes,
-        # which breaks CG convergence (measured: divergence at ~1e5 dofs)
-        kw = dict(precision=jax.lax.Precision.HIGHEST,
-                  preferred_element_type=X.dtype)
-        if A.ndim == 4:                           # per-sample matrices
-            Ye = jnp.einsum("bnij,njb->nib", A.astype(X.dtype), Xe, **kw)
+        if A.ndim == 3 and _use_pallas():
+            from ..ops.pallas_kernels import element_apply_pallas
+            ones = (jnp.ones(X.shape[1], dtype=X.dtype)
+                    if coef is None else coef.astype(X.dtype))
+            Ye = element_apply_pallas(A.astype(X.dtype), Xe, ones)
         else:
-            Ye = jnp.einsum("nij,njb->nib", A.astype(X.dtype), Xe, **kw)
+            # force true-f32 accumulation: TPU einsum defaults to bf16
+            # passes, which breaks CG convergence (measured: divergence at
+            # ~1e5 dofs)
+            kw = dict(precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=X.dtype)
+            if A.ndim == 4:                       # per-sample matrices
+                Ye = jnp.einsum("bnij,njb->nib", A.astype(X.dtype), Xe,
+                                **kw)
+            else:
+                Ye = jnp.einsum("nij,njb->nib", A.astype(X.dtype), Xe,
+                                **kw)
+            if coef is not None:
+                Ye = Ye * coef.astype(X.dtype)[None, None, :]
         N, nd, B = Ye.shape
         return jax.ops.segment_sum(
             Ye.reshape(N * nd, B)[self.perm], self.ids_sorted,
@@ -229,14 +246,12 @@ def _batched_operator(sys: TransportSystem, D_vec, mu_vec, R_batch, f32):
     free = sys.free
 
     def A_raw(X):
-        Dv = D_vec.astype(X.dtype)
-        Y = Dv[None, :] * sys.K.apply_batched(X, f32)
+        Y = sys.K.apply_batched(X, f32, coef=D_vec)
         if sys.Adv is not None:
             Y = Y + sys.Adv.apply_batched(X, f32)
         if sys.R is not None:
             if R_batch is None:
-                muv = mu_vec.astype(X.dtype)
-                Y = Y + muv[None, :] * sys.R.apply_batched(X, f32)
+                Y = Y + sys.R.apply_batched(X, f32, coef=mu_vec)
             else:
                 Y = Y + sys.R.apply_batched(X, f32, A_override=R_batch)
         return Y

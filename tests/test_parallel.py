@@ -53,3 +53,16 @@ def test_mixed_precision_matches_f64(mesh):
     Xmx, info = solve_sweep(sys, [1.0, 1.0], mu_values=mus,
                             precision="mixed", rtol=1e-12)
     assert np.abs(np.asarray(X64) - np.asarray(Xmx)).max() < 1e-9
+
+
+def test_pallas_element_apply_matches_einsum(mesh, monkeypatch):
+    import jax.numpy as jnp
+    from fenics_eff_uptake_tpu.parallel.sweep import build_transport_system
+    sys_t = build_transport_system(mesh)
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.randn(sys_t.ndofs, 4))
+    coef = jnp.asarray(np.array([0.5, 1.0, 2.0, 3.0]))
+    y_ein = sys_t.K.apply_batched(X, coef=coef)
+    monkeypatch.setenv("FEU_PALLAS", "1")
+    y_pl = sys_t.K.apply_batched(X, coef=coef)
+    assert np.abs(np.asarray(y_ein) - np.asarray(y_pl)).max() < 1e-10
