@@ -336,7 +336,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
     def make_M(f32):
         dv = dinv.astype(jnp.float32) if f32 else dinv
         if tl is None:
-            return lambda R: dv * R
+            return ((lambda m_args, R: m_args[0] * R), (dv,))
         from ..solvers.twolevel import make_preconditioner
         return make_preconditioner(tl, dinv, f32=f32)
 

@@ -43,6 +43,22 @@ def _colnorm(X):
     return jnp.sqrt(jnp.sum(X * X, axis=0))
 
 
+def _as_op(op):
+    """Normalise an operator to (fn(args, X), args).
+
+    Plain callables close over their arrays, which embeds them as HLO
+    CONSTANTS -- fine for MB-scale element arrays but the remote-compile
+    transport rejects programs with very large constants (e.g. the
+    two-level coarse inverses).  Pass such operators as (fn, args) so the
+    arrays enter the jitted chunk as ARGUMENTS.
+    """
+    if isinstance(op, tuple):
+        return op
+    if op is None:
+        return (lambda args, X: X), ()
+    return (lambda args, X, _op=op: _op(X)), ()
+
+
 _CHUNK_CACHE = {}
 
 
@@ -59,22 +75,22 @@ def _cached_chunk(builder, A, M, n_iters):
     return fn
 
 
-def _cg_chunk(A, M, n_iters):
+def _cg_chunk(A_fn, M_fn, n_iters):
     """Jitted CG chunk: advances all columns n_iters steps (frozen when
-    converged)."""
+    converged).  Operator/preconditioner arrays arrive as arguments."""
 
     @jax.jit
-    def chunk(X, R, Z, P, rz, tol):
+    def chunk(a_args, m_args, X, R, Z, P, rz, tol):
         def body(_, state):
             X, R, Z, P, rz = state
             active = _colnorm(R) > tol                     # (B,)
-            AP = A(P)
+            AP = A_fn(a_args, P)
             pAp = jnp.sum(P * AP, axis=0)
             alpha = jnp.where(active & (pAp != 0),
                               rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
             X = X + alpha[None, :] * P
             R = R - alpha[None, :] * AP
-            Z = M(R)
+            Z = M_fn(m_args, R)
             rz_new = jnp.sum(R * Z, axis=0)
             beta = jnp.where(active & (rz != 0),
                              rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
@@ -88,38 +104,43 @@ def _cg_chunk(A, M, n_iters):
     return chunk
 
 
-def batched_cg(A: Callable, B_rhs, M: Optional[Callable] = None,
+def batched_cg(A, B_rhs, M=None,
                X0=None, rtol=1e-12, atol=0.0, maxiter=20000,
                chunk_iters=400) -> BatchedResult:
-    """Preconditioned CG on (n, B) right-hand sides."""
-    if M is None:
-        M = lambda R: R
+    """Preconditioned CG on (n, B) right-hand sides.
+
+    A and M are callables X->Y, or (fn(args, X), args) pairs (preferred
+    when the operator holds very large arrays -- see _as_op).
+    """
+    A_fn, a_args = _as_op(A)
+    M_fn, m_args = _as_op(M)
     if X0 is None:
         X0 = jnp.zeros_like(B_rhs)
     bnorm = _colnorm(B_rhs)
     tol = jnp.maximum(rtol * bnorm, atol)
 
-    R = B_rhs - A(X0)
-    Z = M(R)
+    R = B_rhs - A_fn(a_args, X0)
+    Z = M_fn(m_args, R)
     P = Z
     rz = jnp.sum(R * Z, axis=0)
     X = X0
-    chunk = _cached_chunk(_cg_chunk, A, M, chunk_iters)
+    chunk = _cached_chunk(_cg_chunk, A_fn, M_fn, chunk_iters)
 
     iters = 0
     rn = np.asarray(_colnorm(R))
     tol_np = np.asarray(tol)
     while iters < maxiter and (rn > tol_np).any():
-        X, R, Z, P, rz, rn_dev = chunk(X, R, Z, P, rz, tol)
+        X, R, Z, P, rz, rn_dev = chunk(a_args, m_args, X, R, Z, P, rz,
+                                       tol)
         iters += chunk_iters
         rn = np.asarray(rn_dev)
     return BatchedResult(X=X, iters=np.full(B_rhs.shape[1], iters),
                          resnorm=rn, converged=rn <= tol_np)
 
 
-def _bicgstab_chunk(A, M, n_iters):
+def _bicgstab_chunk(A_fn, M_fn, n_iters):
     @jax.jit
-    def chunk(X, R, Rhat, P, V, rho, alpha, omega, tol):
+    def chunk(a_args, m_args, X, R, Rhat, P, V, rho, alpha, omega, tol):
         def body(_, state):
             X, R, P, V, rho, alpha, omega = state
             active = _colnorm(R) > tol
@@ -130,15 +151,15 @@ def _bicgstab_chunk(A, M, n_iters):
                 * (alpha / jnp.where(omega != 0, omega, 1.0)), 0.0)
             P = jnp.where(active[None, :],
                           R + beta[None, :] * (P - omega[None, :] * V), P)
-            Phat = M(P)
-            V = A(Phat)
+            Phat = M_fn(m_args, P)
+            V = A_fn(a_args, Phat)
             denom = jnp.sum(Rhat * V, axis=0)
             alpha = jnp.where(active & (denom != 0),
                               rho_new / jnp.where(denom != 0, denom, 1.0),
                               0.0)
             S = R - alpha[None, :] * V
-            Shat = M(S)
-            T = A(Shat)
+            Shat = M_fn(m_args, S)
+            T = A_fn(a_args, Shat)
             tt = jnp.sum(T * T, axis=0)
             omega = jnp.where(active & (tt != 0),
                               jnp.sum(T * S, axis=0)
@@ -154,32 +175,35 @@ def _bicgstab_chunk(A, M, n_iters):
     return chunk
 
 
-def batched_bicgstab(A: Callable, B_rhs, M: Optional[Callable] = None,
+def batched_bicgstab(A, B_rhs, M=None,
                      X0=None, rtol=1e-12, atol=0.0, maxiter=20000,
                      chunk_iters=200) -> BatchedResult:
-    """Preconditioned BiCGStab on (n, B) right-hand sides."""
-    if M is None:
-        M = lambda R: R
+    """Preconditioned BiCGStab on (n, B) right-hand sides.
+
+    A and M as in batched_cg: callables or (fn(args, X), args) pairs.
+    """
+    A_fn, a_args = _as_op(A)
+    M_fn, m_args = _as_op(M)
     if X0 is None:
         X0 = jnp.zeros_like(B_rhs)
     bnorm = _colnorm(B_rhs)
     tol = jnp.maximum(rtol * bnorm, atol)
 
-    R = B_rhs - A(X0)
+    R = B_rhs - A_fn(a_args, X0)
     Rhat = R
     B = B_rhs.shape[1]
     ones = jnp.ones(B, dtype=B_rhs.dtype)
     zerosV = jnp.zeros_like(B_rhs)
     X, P, V = X0, zerosV, zerosV
     rho = alpha = omega = ones
-    chunk = _cached_chunk(_bicgstab_chunk, A, M, chunk_iters)
+    chunk = _cached_chunk(_bicgstab_chunk, A_fn, M_fn, chunk_iters)
 
     iters = 0
     rn = np.asarray(_colnorm(R))
     tol_np = np.asarray(tol)
     while iters < maxiter and (rn > tol_np).any():
         X, R, P, V, rho, alpha, omega, rn_dev = chunk(
-            X, R, Rhat, P, V, rho, alpha, omega, tol)
+            a_args, m_args, X, R, Rhat, P, V, rho, alpha, omega, tol)
         iters += chunk_iters
         rn = np.asarray(rn_dev)
     return BatchedResult(X=X, iters=np.full(B, iters),

@@ -169,27 +169,37 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
 
 
 def make_preconditioner(tl: TwoLevelData, dinv, f32=False):
-    """M^{-1}: (n, B) -> (n, B), additive Jacobi + coarse correction."""
-    w32 = tl.weights.astype(jnp.float32)
+    """M^{-1}: (n, B) -> (n, B), additive Jacobi + coarse correction.
 
-    def apply(R):
+    Returned as an (fn, args) pair (solvers/batched.py convention): the
+    coarse inverses are hundreds of MB and must enter the jitted Krylov
+    chunks as ARGUMENTS, not closure constants -- the remote-compile
+    transport rejects giant constant-laden programs (HTTP 413).
+    """
+    w32 = tl.weights.astype(jnp.float32)
+    args = (tl.Ainv, dinv.astype(jnp.float32), w32)
+    perm, ids_sorted, cols = tl.perm, tl.ids_sorted, tl.cols
+    n_coarse, theta = tl.n_coarse, tl.theta
+
+    def apply(m_args, R):
+        Ainv, dinv32, w = m_args
         Rw = R.astype(jnp.float32)
         # P^T r: scatter-add weighted residuals to coarse vertices
-        contrib = w32[:, :, None] * Rw[:, None, :]        # (n,3,B)
+        contrib = w[:, :, None] * Rw[:, None, :]          # (n,3,B)
         n, _, B = contrib.shape
-        flat = contrib.reshape(n * 3, B)[tl.perm]
-        rc = jax.ops.segment_sum(flat, tl.ids_sorted,
-                                 num_segments=tl.n_coarse,
+        flat = contrib.reshape(n * 3, B)[perm]
+        rc = jax.ops.segment_sum(flat, ids_sorted,
+                                 num_segments=n_coarse,
                                  indices_are_sorted=True)  # (nc,B)
         # coarse correction: one batched dense matmul (MXU)
-        xc = jnp.einsum("bij,jb->ib", tl.Ainv, rc,
+        xc = jnp.einsum("bij,jb->ib", Ainv, rc,
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)  # (nc,B)
         # P xc: gather + weight
-        fine = jnp.einsum("nk,nkb->nb", w32, xc[tl.cols],
+        fine = jnp.einsum("nk,nkb->nb", w, xc[cols],
                           precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
-        out = tl.theta * dinv.astype(jnp.float32) * Rw + fine
+        out = theta * dinv32 * Rw + fine
         return out.astype(R.dtype)
 
-    return apply
+    return (apply, args)

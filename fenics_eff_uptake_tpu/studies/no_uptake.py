@@ -305,8 +305,23 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
     print(f"Combined CSV saved: {csv_path} ({len(df)} rows)")
 
     if profile_runs:
-        export_profile_samples_csv_sulci(
-            profile_runs, os.path.join(study_dir, "Profiles"))
+        prof_dir = os.path.join(study_dir, "Profiles")
+        export_profile_samples_csv_sulci(profile_runs, prof_dir)
+        try:
+            from ..plotting.no_uptake_plots import (
+                plot_profiles_grid_from_samples_csv)
+            from glob import glob
+            for csv in glob(os.path.join(prof_dir,
+                                         "profiles_samples_*.csv")):
+                plot_profiles_grid_from_samples_csv(csv)
+        except Exception as e:
+            print(f"  profile grid plotting failed: {e}")
+
+    try:
+        from ..plotting.no_uptake_plots import generate_all_plots
+        generate_all_plots(df, os.path.join(study_dir, "Plots"))
+    except Exception as e:
+        print(f"  heatmap plotting failed: {e}")
 
     save_metadata({
         "study_type": "No-Uptake Geometry Comparison",
