@@ -297,9 +297,17 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
     R_batch = None if robin_matrices is None else jnp.asarray(robin_matrices)
 
     if chunk_iters is None:
-        # keep each device dispatch well under the runtime's ~1 min cap
-        chunk_iters = max(50, min(800, int(4.0e9 / max(
-            sys.K.A64.shape[0] * 36 * B, 1))))
+        # keep each device dispatch well under the runtime's ~1 min cap;
+        # quantised to a fixed set so compiled chunk kernels are reused
+        # across meshes/batches (each distinct trip count is a fresh
+        # remote compile)
+        raw = int(4.0e9 / max(sys.K.A64.shape[0] * 36 * B, 1))
+        for cand in (800, 400, 200, 100):
+            if raw >= cand:
+                chunk_iters = cand
+                break
+        else:
+            chunk_iters = 50
 
     nonsym = sys.Adv is not None
     krylov = batched_bicgstab if nonsym else batched_cg

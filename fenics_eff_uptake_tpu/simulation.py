@@ -158,7 +158,10 @@ def run_simulation(mode, study_type, config_name, domain_type,
         else:
             c = advdiff_solve(mesh, u, D=params.D, mu=params.mu)
     if verbose and hasattr(c, "solver_info"):
-        print(f"[{config_name}] transport solve: {c.solver_info}")
+        arr = c.as_numpy()
+        print(f"[{config_name}] transport solve: {c.solver_info}; "
+              f"c stats: min={arr.min():.6e} max={arr.max():.6e} "
+              f"mean={arr.mean():.6e}")
 
     # 4) metrics (ref simulation.py:168-233)
     with timer.stage("metrics"):
