@@ -95,17 +95,24 @@ class _Block(NamedTuple):
                     if coef is None else coef.astype(X.dtype))
             Ye = element_apply_pallas(A.astype(X.dtype), Xe, ones)
         else:
-            # force true-f32 accumulation: TPU einsum defaults to bf16
-            # passes, which breaks CG convergence (measured: divergence at
-            # ~1e5 dofs)
-            kw = dict(precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=X.dtype)
-            if A.ndim == 4:                       # per-sample matrices
-                Ye = jnp.einsum("bnij,njb->nib", A.astype(X.dtype), Xe,
-                                **kw)
+            # the nd=6 contraction is unrolled into elementwise
+            # multiply-adds: VPU f32 arithmetic is exact (TPU matmul paths
+            # default to bf16 passes, which broke CG convergence, and the
+            # exact HIGHEST-precision matmul costs 6 passes)
+            Ac = A.astype(X.dtype)
+            nd = Xe.shape[1]
+            if Ac.ndim == 4:                      # per-sample matrices
+                # Ye[n,i,b] = sum_j Ac[b,n,i,j] * Xe[n,j,b]
+                Ye = jnp.stack(
+                    [sum(jnp.moveaxis(Ac[:, :, i, j], 0, 1)  # (N,B)
+                         * Xe[:, j, :]
+                         for j in range(nd))
+                     for i in range(nd)], axis=1)  # (N, nd, B)
             else:
-                Ye = jnp.einsum("nij,njb->nib", A.astype(X.dtype), Xe,
-                                **kw)
+                Ye = jnp.stack(
+                    [sum(Ac[:, i, j, None] * Xe[:, j, :]
+                         for j in range(nd))
+                     for i in range(nd)], axis=1)  # (N, nd, B)
             if coef is not None:
                 Ye = Ye * coef.astype(X.dtype)[None, None, :]
         N, nd, B = Ye.shape
