@@ -148,7 +148,9 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
             else:
                 A = A + mu_vec[b] * R_c
         A = A + 1e-6 * np.abs(np.diag(A)).mean() * np.eye(nc)
-        Ainvs.append(np.linalg.inv(A).astype(np.float32))
+        # f32 LAPACK inverse: half the cost, and f32 is all the
+        # preconditioner needs
+        Ainvs.append(np.linalg.inv(A.astype(np.float32)))
     Ainv = jnp.asarray(np.stack(Ainvs))                   # (B, nc, nc) f32
 
     # interpolation from coarse P1 vertices to fine scalar dofs
