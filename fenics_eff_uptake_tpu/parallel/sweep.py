@@ -147,9 +147,46 @@ class TransportSystem(NamedTuple):
     space: "object"
 
 
+def _bucket(n, granularity=4096):
+    """Round n up to a quantized size so kernel shapes are shared across
+    meshes.  Each distinct shape is a fresh (remote, minutes-long) compile
+    on the TPU runtime; geometry sweeps over 23 meshes would otherwise
+    recompile everything per geometry."""
+    return ((n + granularity - 1) // granularity) * granularity
+
+
+def _pad_block(b: _Block, n_entities, ndofs_padded, dummy_dof) -> _Block:
+    """Pad an element block with zero-matrix entities scattering into a
+    dummy (constrained) dof -- mathematically a no-op."""
+    import numpy as _np
+    N = b.A64.shape[0]
+    if N == n_entities and b.ndofs == ndofs_padded:
+        return b
+    nd = b.A64.shape[1]
+    A64 = jnp.concatenate(
+        [b.A64, jnp.zeros((n_entities - N, nd, nd), b.A64.dtype)], axis=0)
+    dofs = _np.concatenate(
+        [_np.asarray(b.dofs),
+         _np.full((n_entities - N, nd), dummy_dof, dtype=_np.int64)],
+        axis=0)
+    ids = dofs.ravel()
+    perm = _np.argsort(ids, kind="stable")
+    return _Block(A64=A64, A32=A64.astype(jnp.float32),
+                  dofs=jnp.asarray(dofs, dtype=jnp.int32),
+                  perm=jnp.asarray(perm, dtype=jnp.int32),
+                  ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
+                  ndofs=ndofs_padded)
+
+
 def build_transport_system(mesh: MeshData, element="P2",
                            u_values=None, u_space=None,
-                           robin_degree=None) -> TransportSystem:
+                           robin_degree=None,
+                           pad_shapes=None) -> TransportSystem:
+    """Assemble the sweep system.  pad_shapes (default: on for TPU)
+    buckets the cell/facet/dof counts so compiled kernels are shared
+    across meshes of similar size."""
+    if pad_shapes is None:
+        pad_shapes = jax.default_backend() == "tpu"
     space = FunctionSpace(mesh, element)
     K = _from_element_block(stiffness_block(space, D=1.0))
     Adv = None
@@ -162,8 +199,28 @@ def build_transport_system(mesh: MeshData, element="P2",
         R = _from_element_block(robin_facet_block(space, bottom, mu=1.0,
                                                   **kw))
     bc = make_bc(space, [(MARKERS["left"], 1.0), (MARKERS["right"], 0.0)])
-    return TransportSystem(K=K, Adv=Adv, R=R, free=bc.free,
-                           bc_values=bc.values, ndofs=space.ndofs,
+    free = bc.free
+    bc_values = bc.values
+    ndofs = space.ndofs
+
+    if pad_shapes:
+        ndofs_p = _bucket(ndofs + 1, 8192)    # +1: room for the dummy dof
+        dummy = ndofs                         # first padding dof
+        K = _pad_block(K, _bucket(K.A64.shape[0]), ndofs_p, dummy)
+        if Adv is not None:
+            Adv = _pad_block(Adv, _bucket(Adv.A64.shape[0]), ndofs_p,
+                             dummy)
+        if R is not None:
+            R = _pad_block(R, _bucket(R.A64.shape[0], 512), ndofs_p, dummy)
+        pad = ndofs_p - ndofs
+        # padding dofs are constrained to 0 (identity rows, zero rhs)
+        free = jnp.concatenate([free, jnp.zeros(pad, dtype=bool)])
+        bc_values = jnp.concatenate(
+            [bc_values, jnp.zeros(pad, dtype=bc_values.dtype)])
+        ndofs = ndofs_p
+
+    return TransportSystem(K=K, Adv=Adv, R=R, free=free,
+                           bc_values=bc_values, ndofs=ndofs,
                            space=space)
 
 
@@ -301,7 +358,16 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
     if mu_values is None:
         mu_values = np.zeros(B)
     mu_vec = jnp.asarray(np.asarray(mu_values, dtype=np.float64))
-    R_batch = None if robin_matrices is None else jnp.asarray(robin_matrices)
+    if robin_matrices is None:
+        R_batch = None
+    else:
+        R_batch = jnp.asarray(robin_matrices)
+        # pad per-sample Robin matrices to the (bucketed) facet count
+        if sys.R is not None and R_batch.shape[1] < sys.R.A64.shape[0]:
+            padF = sys.R.A64.shape[0] - R_batch.shape[1]
+            R_batch = jnp.concatenate(
+                [R_batch, jnp.zeros((B,) + (padF,) + R_batch.shape[2:],
+                                    R_batch.dtype)], axis=1)
 
     if chunk_iters is None:
         # keep each device dispatch well under the runtime's ~1 min cap;
@@ -391,8 +457,9 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
             X = X + res.X.astype(jnp.float64)
             total_iters += res.iters
         iters = total_iters
-    return jnp.moveaxis(X, 0, 1), {"iters": np.asarray(iters),
-                                   "resnorm": np.asarray(resnorm)}
+    # strip shape-bucketing padding dofs (see build_transport_system)
+    return (jnp.moveaxis(X, 0, 1)[:, :sys.space.ndofs],
+            {"iters": np.asarray(iters), "resnorm": np.asarray(resnorm)})
 
 
 # ---------------------------------------------------------------------------

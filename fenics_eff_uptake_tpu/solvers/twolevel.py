@@ -88,12 +88,16 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
     mu_vec = (np.zeros(B) if mu_values is None
               else np.asarray(mu_values, dtype=np.float64))
 
+    # the coarse system is densified: bucketing padding would blow the
+    # dense inverse up to the padded size -- never pad here
     if u_coarse is None:
-        csys = build_transport_system(coarse_mesh, element="P1")
+        csys = build_transport_system(coarse_mesh, element="P1",
+                                      pad_shapes=False)
     else:
         csys = build_transport_system(coarse_mesh, element="P1",
                                       u_values=u_coarse[0],
-                                      u_space=u_coarse[1])
+                                      u_space=u_coarse[1],
+                                      pad_shapes=False)
     nc = csys.ndofs
 
     # dense coarse matrices per sweep column
@@ -155,8 +159,14 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
 
     # interpolation from coarse P1 vertices to fine scalar dofs
     fine_coords = sys.space.dof_coords
+    n_true = len(fine_coords)
     cols, lam = _interpolation(fine_coords, coarse_mesh,
-                               np.asarray(sys.free))
+                               np.asarray(sys.free)[:n_true])
+    # shape-bucketing padding dofs take no coarse correction
+    if sys.ndofs > n_true:
+        pad = sys.ndofs - n_true
+        cols = np.concatenate([cols, np.zeros((pad, 3), np.int64)])
+        lam = np.concatenate([lam, np.zeros((pad, 3))])
     ids = cols.ravel()
     perm = np.argsort(ids, kind="stable")
     return TwoLevelData(
