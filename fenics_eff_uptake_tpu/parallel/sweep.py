@@ -389,7 +389,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                                            f32=False)
     free = sys.free
     G = jnp.tile(sys.bc_values[:, None], (1, B))
-    RHS = jnp.where(free[:, None], -A_raw64(G), G)
+    RHS = jax.jit(lambda G_: jnp.where(free[:, None], -A_raw64(G_), G_))(G)
     X0 = G  # exact on constrained dofs from the start
     dinv = jnp.where(free[:, None] & (diag != 0),
                      1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
@@ -442,9 +442,13 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         X = X0
         total_iters = np.zeros(B, dtype=np.int64)
         resnorm = bnorm.copy()
+        # jit the whole f64 residual computation: eagerly it is dozens of
+        # small dispatches, each paying the device-tunnel round-trip
+        residual_fn = jax.jit(lambda RHS_, X_: (
+            lambda Rr: (Rr, jnp.linalg.norm(Rr, axis=0)))(RHS_ - A64(X_)))
         for _ref in range(12):
-            Rres = RHS - A64(X)
-            resnorm = np.asarray(jnp.linalg.norm(Rres, axis=0))
+            Rres, rn_dev = residual_fn(RHS, X)
+            resnorm = np.asarray(rn_dev)
             _tt = _t(f"refine {_ref}: f64 residual "
                      f"(max {resnorm.max():.2e})", _tt)
             if (resnorm <= tol).all():
