@@ -47,6 +47,12 @@ def main():
                            refinement_factor=1, domain_type="sulcus")
     t_mesh = time.time() - t_mesh
 
+    # first build includes one-time XLA compiles (persistently cached);
+    # the second build measures the true steady per-sweep assembly cost
+    t0 = time.time()
+    sys_t = build_transport_system(mesh, element="P2")
+    jax.block_until_ready(sys_t.K.A64)
+    t_asm_cold = time.time() - t0
     t_asm = time.time()
     sys_t = build_transport_system(mesh, element="P2")
     jax.block_until_ready(sys_t.K.A64)
@@ -85,6 +91,7 @@ def main():
         "n_sweep_points": int(len(mus)),
         "mesh_gen_s": round(t_mesh, 3),
         "assembly_s": round(t_asm, 3),
+        "assembly_cold_s": round(t_asm_cold, 3),
         "twolevel_setup_s": round(t_tl, 3),
         "first_solve_s": round(t_compile, 3),
         "steady_solve_s": round(t_solve, 3),

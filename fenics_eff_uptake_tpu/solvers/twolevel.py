@@ -203,9 +203,9 @@ def make_preconditioner(tl: TwoLevelData, dinv, f32=False):
         rc = jax.ops.segment_sum(flat, ids_sorted,
                                  num_segments=n_coarse,
                                  indices_are_sorted=True)  # (nc,B)
-        # coarse correction: one batched dense matmul (MXU)
+        # coarse correction: one batched dense matmul (MXU); default
+        # (bf16-pass) precision is fine -- this is a preconditioner
         xc = jnp.einsum("bij,jb->ib", Ainv, rc,
-                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)  # (nc,B)
         # P xc: gather + weight
         fine = jnp.einsum("nk,nkb->nb", w, xc[cols],
