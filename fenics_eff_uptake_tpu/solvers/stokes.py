@@ -123,11 +123,31 @@ def stokes_schur_cg(A_apply: Callable, B, bc, f=None,
             X = X + res.X.astype(X.dtype)
         return X
 
+    # jit the small per-outer-iteration pieces: eager dispatches each pay
+    # the device-tunnel round-trip
+    jBt_rhs = jax.jit(lambda d: jnp.where(free, B.apply_t(d), 0.0)[:, None])
+    jB = jax.jit(lambda w: B.apply(w[:, 0]))
+    jMp = jax.jit(Mp_inv)
+
+    @jax.jit
+    def j_update(p, r, d, Sd, rz):
+        dSd = jnp.vdot(d, Sd)
+        alpha = jnp.where(dSd != 0, rz / jnp.where(dSd != 0, dSd, 1.0),
+                          0.0)
+        p2 = p + alpha * d
+        r2 = r - alpha * Sd
+        z2 = Mp_inv(r2)
+        rz_new = jnp.vdot(r2, z2)
+        beta = jnp.maximum(jnp.vdot(r2 - r, z2)
+                           / jnp.where(rz != 0, rz, 1.0), 0.0)
+        d2 = z2 + beta * d
+        return p2, r2, z2, d2, rz_new, jnp.linalg.norm(r2), dSd
+
     # u0 = A^{-1} f with bc values g
     rhs0 = jnp.where(free, f - A_apply(_col(g))[:, 0], g)[:, None]
     u0 = solve_A(rhs0, _col(g))
 
-    b_p = B.apply(u0[:, 0])
+    b_p = jB(u0)
     bnorm = float(jnp.linalg.norm(b_p))
     tol = outer_rtol * bnorm
 
@@ -136,41 +156,32 @@ def stokes_schur_cg(A_apply: Callable, B, bc, f=None,
     # beta and guard against breakdown (restart on non-positive curvature).
     p = jnp.zeros_like(b_p)
     r = b_p
-    z = Mp_inv(r)
+    z = jMp(r)
     d = z
     rz = float(jnp.vdot(r, z))
-    r_old = r
     w_prev = jnp.zeros_like(u0)
     k = 0
     rn = float(jnp.linalg.norm(r))
     while rn > tol and k < outer_maxiter:
-        rhs = jnp.where(free, B.apply_t(d), 0.0)[:, None]
-        w = solve_A(rhs, w_prev)
+        w = solve_A(jBt_rhs(d), w_prev)
         w_prev = w
-        Sd = B.apply(w[:, 0])
-        dSd = float(jnp.vdot(d, Sd))
+        Sd = jB(w)
+        p2, r2, z2, d2, rz_new, rn_dev, dSd_dev = j_update(
+            p, r, d, Sd, jnp.asarray(rz, dtype=r.dtype))
+        dSd = float(dSd_dev)
         if not np.isfinite(dSd) or dSd <= 0.0:
             # lost conjugacy to inexactness: restart with steepest descent
             d = z
-            rhs = jnp.where(free, B.apply_t(d), 0.0)[:, None]
-            w = solve_A(rhs, w_prev)
+            w = solve_A(jBt_rhs(d), w_prev)
             w_prev = w
-            Sd = B.apply(w[:, 0])
-            dSd = float(jnp.vdot(d, Sd))
-            if not np.isfinite(dSd) or dSd <= 0.0:
+            Sd = jB(w)
+            p2, r2, z2, d2, rz_new, rn_dev, dSd_dev = j_update(
+                p, r, d, Sd, jnp.asarray(rz, dtype=r.dtype))
+            if not np.isfinite(float(dSd_dev)) or float(dSd_dev) <= 0.0:
                 break
-        alpha = rz / dSd
-        p = p + alpha * d
-        r_old = r
-        r = r - alpha * Sd
-        z = Mp_inv(r)
-        # flexible (Polak-Ribiere) beta tolerates inexact S
-        rz_new = float(jnp.vdot(r, z))
-        beta = float(jnp.vdot(r - r_old, z)) / rz if rz != 0 else 0.0
-        beta = max(beta, 0.0)
-        d = z + beta * d
-        rz = rz_new
-        rn = float(jnp.linalg.norm(r))
+        p, r, z, d = p2, r2, z2, d2
+        rz = float(rz_new)
+        rn = float(rn_dev)
         k += 1
 
     # final velocity: u = A^{-1}(f - B^T p) with bc values
