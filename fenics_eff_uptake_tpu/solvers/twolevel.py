@@ -42,7 +42,15 @@ class TwoLevelData(NamedTuple):
     perm: jnp.ndarray        # scatter plan for P^T
     ids_sorted: jnp.ndarray
     n_coarse: int
-    Ainv: jnp.ndarray        # (B, nc, nc) f32 explicit coarse inverses
+    # general path: per-sample explicit inverses (B, nc, nc); or the
+    # Woodbury path (constant D, scalar mu): A_b = A0 + mu_b W W^T with
+    # shared A0inv (nc, nc), Z = A0inv W (nc, r), and per-sample
+    # capacitance inverses C_b = (I/mu_b + W^T Z)^{-1} (B, r, r)
+    Ainv: "object"           # (B, nc, nc) f32, or None on Woodbury path
+    A0inv: "object"          # (nc, nc) f32, or None
+    Z: "object"              # (nc, r) f32, or None
+    W: "object"              # (nc, r) f32, or None
+    Cinv: "object"           # (B, r, r) f32, or None
     theta: float
 
 
@@ -136,26 +144,55 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
 
     # coefficient combination + inversion on HOST (numpy): factorisations
     # lower to sequential triangular kernels that are pathologically slow
-    # on the TPU runtime, and this is a one-time setup cost.  The EXPLICIT
-    # inverse makes the runtime coarse correction one dense
-    # (nc x nc) @ (nc x B) matmul per preconditioner application -- pure
-    # MXU work.  f32 is plenty for a preconditioner.
-    Ainvs = []
-    for b in range(B):
-        A = D_vec[b] * K_c
+    # on the TPU runtime, and this is a one-time setup cost.  f32 is
+    # plenty for a preconditioner.
+    Ainv = A0inv = Z = W = Cinv = None
+    same_D = np.allclose(D_vec, D_vec[0])
+    if (same_D and robin_matrices_coarse is None and R_c is not None):
+        # Woodbury path: A_b = A0 + mu_b R_c, ONE nc^3 inverse total.
+        # Factor R_c = W W^T on its (small) support via eigh.
+        sup = np.flatnonzero(np.abs(R_c).sum(0) > 0)
+        r_sub = R_c[np.ix_(sup, sup)]
+        evals, evecs = np.linalg.eigh(r_sub)
+        keep = evals > max(evals.max(), 0) * 1e-10
+        Wd = np.zeros((nc, int(keep.sum())))
+        Wd[sup] = evecs[:, keep] * np.sqrt(evals[keep])[None, :]
+        A0 = D_vec[0] * K_c
         if Advsym is not None:
-            A = A + Advsym
-        if R_c is not None:
-            if robin_matrices_coarse is not None:
-                Rb = constrain(dense_of(csys.R, robin_matrices_coarse[b]))
-                A = A + Rb
+            A0 = A0 + Advsym
+        A0 = A0 + 1e-6 * np.abs(np.diag(A0)).mean() * np.eye(nc)
+        A0inv_d = np.linalg.inv(A0.astype(np.float32)).astype(np.float64)
+        Zd = A0inv_d @ Wd                                  # (nc, r)
+        WtZ = Wd.T @ Zd                                    # (r, r)
+        r_dim = Wd.shape[1]
+        Cinvs = []
+        for b in range(B):
+            mu_b = max(mu_vec[b], 0.0)
+            if mu_b == 0.0:
+                Cinvs.append(np.zeros((r_dim, r_dim)))
             else:
-                A = A + mu_vec[b] * R_c
-        A = A + 1e-6 * np.abs(np.diag(A)).mean() * np.eye(nc)
-        # f32 LAPACK inverse: half the cost, and f32 is all the
-        # preconditioner needs
-        Ainvs.append(np.linalg.inv(A.astype(np.float32)))
-    Ainv = jnp.asarray(np.stack(Ainvs))                   # (B, nc, nc) f32
+                Cinvs.append(np.linalg.inv(
+                    np.eye(r_dim) / mu_b + WtZ))
+        A0inv = jnp.asarray(A0inv_d, dtype=jnp.float32)
+        Z = jnp.asarray(Zd, dtype=jnp.float32)
+        W = jnp.asarray(Wd, dtype=jnp.float32)
+        Cinv = jnp.asarray(np.stack(Cinvs), dtype=jnp.float32)
+    else:
+        Ainvs = []
+        for b in range(B):
+            A = D_vec[b] * K_c
+            if Advsym is not None:
+                A = A + Advsym
+            if R_c is not None:
+                if robin_matrices_coarse is not None:
+                    Rb = constrain(dense_of(csys.R,
+                                            robin_matrices_coarse[b]))
+                    A = A + Rb
+                else:
+                    A = A + mu_vec[b] * R_c
+            A = A + 1e-6 * np.abs(np.diag(A)).mean() * np.eye(nc)
+            Ainvs.append(np.linalg.inv(A.astype(np.float32)))
+        Ainv = jnp.asarray(np.stack(Ainvs))               # (B, nc, nc) f32
 
     # interpolation from coarse P1 vertices to fine scalar dofs
     fine_coords = sys.space.dof_coords
@@ -175,7 +212,7 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
         perm=jnp.asarray(perm, dtype=jnp.int32),
         ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
         n_coarse=nc,
-        Ainv=Ainv,
+        Ainv=Ainv, A0inv=A0inv, Z=Z, W=W, Cinv=Cinv,
         theta=float(theta),
     )
 
@@ -189,29 +226,46 @@ def make_preconditioner(tl: TwoLevelData, dinv, f32=False):
     transport rejects giant constant-laden programs (HTTP 413).
     """
     w32 = tl.weights.astype(jnp.float32)
-    args = (tl.Ainv, dinv.astype(jnp.float32), w32)
     perm, ids_sorted, cols = tl.perm, tl.ids_sorted, tl.cols
     n_coarse, theta = tl.n_coarse, tl.theta
+    woodbury = tl.Ainv is None
+
+    def _restrict(w, Rw):
+        contrib = w[:, :, None] * Rw[:, None, :]          # (n,3,B)
+        n, _, B = contrib.shape
+        flat = contrib.reshape(n * 3, B)[perm]
+        return jax.ops.segment_sum(flat, ids_sorted,
+                                   num_segments=n_coarse,
+                                   indices_are_sorted=True)  # (nc,B)
+
+    # matmul precision: default (bf16 passes) is fine in a preconditioner
+    mm = dict(preferred_element_type=jnp.float32)
+
+    if woodbury:
+        args = (tl.A0inv, tl.Z, tl.W, tl.Cinv,
+                dinv.astype(jnp.float32), w32)
+
+        def apply(m_args, R):
+            A0inv, Z, W, Cinv, dinv32, w = m_args
+            Rw = R.astype(jnp.float32)
+            rc = _restrict(w, Rw)
+            y = A0inv @ rc                                 # (nc,B) shared
+            t = W.T @ y                                    # (r,B)
+            u = jnp.einsum("brs,sb->rb", Cinv, t, **mm)    # (r,B)
+            xc = y - Z @ u                                 # (nc,B)
+            fine = jnp.einsum("nk,nkb->nb", w, xc[cols], **mm)
+            return (theta * dinv32 * Rw + fine).astype(R.dtype)
+
+        return (apply, args)
+
+    args = (tl.Ainv, dinv.astype(jnp.float32), w32)
 
     def apply(m_args, R):
         Ainv, dinv32, w = m_args
         Rw = R.astype(jnp.float32)
-        # P^T r: scatter-add weighted residuals to coarse vertices
-        contrib = w[:, :, None] * Rw[:, None, :]          # (n,3,B)
-        n, _, B = contrib.shape
-        flat = contrib.reshape(n * 3, B)[perm]
-        rc = jax.ops.segment_sum(flat, ids_sorted,
-                                 num_segments=n_coarse,
-                                 indices_are_sorted=True)  # (nc,B)
-        # coarse correction: one batched dense matmul (MXU); default
-        # (bf16-pass) precision is fine -- this is a preconditioner
-        xc = jnp.einsum("bij,jb->ib", Ainv, rc,
-                        preferred_element_type=jnp.float32)  # (nc,B)
-        # P xc: gather + weight
-        fine = jnp.einsum("nk,nkb->nb", w, xc[cols],
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32)
-        out = theta * dinv32 * Rw + fine
-        return out.astype(R.dtype)
+        rc = _restrict(w, Rw)
+        xc = jnp.einsum("bij,jb->ib", Ainv, rc, **mm)      # (nc,B)
+        fine = jnp.einsum("nk,nkb->nb", w, xc[cols], **mm)
+        return (theta * dinv32 * Rw + fine).astype(R.dtype)
 
     return (apply, args)
