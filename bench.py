@@ -67,7 +67,7 @@ def main():
     from fenics_eff_uptake_tpu.solvers.twolevel import build_twolevel
     t_tl = time.time()
     tl = build_twolevel(sys_t, coarse, D, mu_values=mus)
-    jax.block_until_ready(tl.Ainv)
+    jax.block_until_ready(tl.Ainv if tl.Ainv is not None else tl.A0inv)
     t_tl = time.time() - t_tl
 
     # warmup/compile
