@@ -305,20 +305,87 @@ def _solve_one_factory(sys: TransportSystem, rtol, maxiter, precision):
     return solve_one
 
 
-def _batched_operator(sys: TransportSystem, D_vec, mu_vec, R_batch, f32):
+class _FusedOperator(NamedTuple):
+    """The whole A(D_b, mu_b) as ONE per-sample element array.
+
+    The separate K/Adv/R applies cost one gather+scatter each; measured on
+    TPU the scatter dominates, so the sweep coefficients are baked into a
+    single fused entity array A_f[b] = [D_b K_e + Adv_e ; mu_b R_e]
+    (cells then facets) applied with ONE gather -> per-sample matmul ->
+    ONE scatter per Krylov iteration.
+    """
+
+    A64: jnp.ndarray          # (B, N_total, nd, nd)
+    A32: jnp.ndarray
+    dofs: jnp.ndarray         # (N_total, nd)
+    perm: jnp.ndarray
+    ids_sorted: jnp.ndarray
+    ndofs: int
+
+    def apply(self, X, f32):
+        A = self.A32 if f32 else self.A64
+        Xe = X[self.dofs]                          # (N, nd, B)
+        Ac = A.astype(X.dtype)
+        nd = Xe.shape[1]
+        Ye = jnp.stack(
+            [sum(jnp.moveaxis(Ac[:, :, i, j], 0, 1) * Xe[:, j, :]
+                 for j in range(nd))
+             for i in range(nd)], axis=1)          # (N, nd, B)
+        N, _, B = Ye.shape
+        return jax.ops.segment_sum(
+            Ye.reshape(N * nd, B)[self.perm], self.ids_sorted,
+            num_segments=self.ndofs, indices_are_sorted=True)
+
+
+def _build_fused(sys: TransportSystem, D_vec, mu_vec, R_batch):
+    """Fuse K/Adv/R with the sweep coefficients into one element array."""
+    import numpy as _np
+    parts64 = []
+    dofs_parts = []
+    B = int(D_vec.shape[0])
+    K_b = D_vec[:, None, None, None] * sys.K.A64[None]
+    if sys.Adv is not None:
+        K_b = K_b + sys.Adv.A64[None]
+    parts64.append(K_b)
+    dofs_parts.append(_np.asarray(sys.K.dofs))
+    if sys.R is not None:
+        if R_batch is None:
+            parts64.append(mu_vec[:, None, None, None] * sys.R.A64[None])
+        else:
+            parts64.append(R_batch.astype(sys.R.A64.dtype))
+        dofs_parts.append(_np.asarray(sys.R.dofs))
+    A64 = jnp.concatenate(parts64, axis=1)         # (B, N_total, nd, nd)
+    dofs = _np.concatenate(dofs_parts, axis=0)
+    ids = dofs.ravel()
+    perm = _np.argsort(ids, kind="stable")
+    return _FusedOperator(
+        A64=A64, A32=A64.astype(jnp.float32),
+        dofs=jnp.asarray(dofs, dtype=jnp.int32),
+        perm=jnp.asarray(perm, dtype=jnp.int32),
+        ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
+        ndofs=sys.ndofs)
+
+
+def _batched_operator(sys: TransportSystem, D_vec, mu_vec, R_batch, f32,
+                      fused=None):
     """A(X): (n,B)->(n,B) with per-column coefficients, plus diag (n,B)."""
     free = sys.free
 
-    def A_raw(X):
-        Y = sys.K.apply_batched(X, f32, coef=D_vec)
-        if sys.Adv is not None:
-            Y = Y + sys.Adv.apply_batched(X, f32)
-        if sys.R is not None:
-            if R_batch is None:
-                Y = Y + sys.R.apply_batched(X, f32, coef=mu_vec)
-            else:
-                Y = Y + sys.R.apply_batched(X, f32, A_override=R_batch)
-        return Y
+    if fused is not None:
+        def A_raw(X):
+            return fused.apply(X, f32)
+    else:
+        def A_raw(X):
+            Y = sys.K.apply_batched(X, f32, coef=D_vec)
+            if sys.Adv is not None:
+                Y = Y + sys.Adv.apply_batched(X, f32)
+            if sys.R is not None:
+                if R_batch is None:
+                    Y = Y + sys.R.apply_batched(X, f32, coef=mu_vec)
+                else:
+                    Y = Y + sys.R.apply_batched(X, f32,
+                                                A_override=R_batch)
+            return Y
 
     def A(X):
         Y = A_raw(jnp.where(free[:, None], X, 0.0))
@@ -385,11 +452,39 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
     nonsym = sys.Adv is not None
     krylov = batched_bicgstab if nonsym else batched_cg
 
-    A_raw64, A64, diag = _batched_operator(sys, D_vec, mu_vec, R_batch,
-                                           f32=False)
+    # fuse coefficients into ONE element array (one scatter per iteration)
+    fused = _build_fused(sys, D_vec, mu_vec, R_batch)
     free = sys.free
+    dofs_f, perm_f, ids_f, ndofs_f = (fused.dofs, fused.perm,
+                                      fused.ids_sorted, fused.ndofs)
+
+    def _fused_apply(Aarr, X):
+        Xe = X[dofs_f]                             # (N, nd, B)
+        Ac = Aarr.astype(X.dtype)
+        nd = Xe.shape[1]
+        Ye = jnp.stack(
+            [sum(jnp.moveaxis(Ac[:, :, i, j], 0, 1) * Xe[:, j, :]
+                 for j in range(nd))
+             for i in range(nd)], axis=1)
+        N, _, Bc = Ye.shape
+        return jax.ops.segment_sum(
+            Ye.reshape(N * nd, Bc)[perm_f], ids_f,
+            num_segments=ndofs_f, indices_are_sorted=True)
+
+    def _A_bc_fn(a_args, X):
+        (Aarr,) = a_args
+        Y = _fused_apply(Aarr, jnp.where(free[:, None], X, 0.0))
+        return jnp.where(free[:, None], Y, X)
+
+    A64 = (_A_bc_fn, (fused.A64,))
+    A32 = (_A_bc_fn, (fused.A32,))
+
+    _, _, diag = _batched_operator(sys, D_vec, mu_vec, R_batch, f32=False)
     G = jnp.tile(sys.bc_values[:, None], (1, B))
-    RHS = jax.jit(lambda G_: jnp.where(free[:, None], -A_raw64(G_), G_))(G)
+    # fused arrays enter jits as ARGUMENTS (hundreds of MB; constants
+    # would exceed the remote-compile transport limit)
+    RHS = jax.jit(lambda Aarr, G_: jnp.where(
+        free[:, None], -_fused_apply(Aarr, G_), G_))(fused.A64, G)
     X0 = G  # exact on constrained dofs from the start
     dinv = jnp.where(free[:, None] & (diag != 0),
                      1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
@@ -427,7 +522,6 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         X = res.X
         iters, resnorm = res.iters, res.resnorm
     elif precision == "f32":
-        _, A32, _ = _batched_operator(sys, D_vec, mu_vec, R_batch, f32=True)
         res = krylov(A32, RHS.astype(jnp.float32),
                      X0=X0.astype(jnp.float32),
                      M=make_M(True), rtol=max(rtol, 1e-6),
@@ -435,7 +529,6 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         X = res.X.astype(jnp.float64)
         iters, resnorm = res.iters, res.resnorm
     else:  # mixed: f32 inner + f64 refinement (host loop)
-        _, A32, _ = _batched_operator(sys, D_vec, mu_vec, R_batch, f32=True)
         M32 = make_M(True)
         bnorm = np.asarray(jnp.linalg.norm(RHS, axis=0))
         tol = rtol * bnorm
@@ -444,10 +537,11 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         resnorm = bnorm.copy()
         # jit the whole f64 residual computation: eagerly it is dozens of
         # small dispatches, each paying the device-tunnel round-trip
-        residual_fn = jax.jit(lambda RHS_, X_: (
-            lambda Rr: (Rr, jnp.linalg.norm(Rr, axis=0)))(RHS_ - A64(X_)))
+        residual_fn = jax.jit(lambda Aarr, RHS_, X_: (
+            lambda Rr: (Rr, jnp.linalg.norm(Rr, axis=0)))(
+                RHS_ - _A_bc_fn((Aarr,), X_)))
         for _ref in range(12):
-            Rres, rn_dev = residual_fn(RHS, X)
+            Rres, rn_dev = residual_fn(fused.A64, RHS, X)
             resnorm = np.asarray(rn_dev)
             _tt = _t(f"refine {_ref}: f64 residual "
                      f"(max {resnorm.max():.2e})", _tt)
