@@ -315,7 +315,7 @@ class _FusedOperator(NamedTuple):
     ONE scatter per Krylov iteration.
     """
 
-    A64: jnp.ndarray          # (B, N_total, nd, nd)
+    A64: jnp.ndarray          # (nd, nd, N_total, B)
     A32: jnp.ndarray
     dofs: jnp.ndarray         # (N_total, nd)
     perm: jnp.ndarray
@@ -324,17 +324,22 @@ class _FusedOperator(NamedTuple):
 
     def apply(self, X, f32):
         A = self.A32 if f32 else self.A64
-        Xe = X[self.dofs]                          # (N, nd, B)
-        Ac = A.astype(X.dtype)
-        nd = Xe.shape[1]
-        Ye = jnp.stack(
-            [sum(jnp.moveaxis(Ac[:, :, i, j], 0, 1) * Xe[:, j, :]
-                 for j in range(nd))
-             for i in range(nd)], axis=1)          # (N, nd, B)
-        N, _, B = Ye.shape
-        return jax.ops.segment_sum(
-            Ye.reshape(N * nd, B)[self.perm], self.ids_sorted,
-            num_segments=self.ndofs, indices_are_sorted=True)
+        return _fused_apply_impl(A, self.dofs, self.perm,
+                                 self.ids_sorted, self.ndofs, X)
+
+
+def _fused_apply_impl(A, dofs, perm, ids_sorted, ndofs, X):
+    """Ye[n,i,b] = sum_j A[i,j,n,b] * X[dofs[n,j],b]; one scatter total."""
+    Xe = X[dofs]                                   # (N, nd, B)
+    Ac = A.astype(X.dtype)
+    nd = Xe.shape[1]
+    Ye = jnp.stack(
+        [sum(Ac[i, j] * Xe[:, j, :] for j in range(nd))
+         for i in range(nd)], axis=1)              # (N, nd, B)
+    N, _, B = Ye.shape
+    return jax.ops.segment_sum(
+        Ye.reshape(N * nd, B)[perm], ids_sorted,
+        num_segments=ndofs, indices_are_sorted=True)
 
 
 def _build_fused(sys: TransportSystem, D_vec, mu_vec, R_batch):
@@ -355,6 +360,10 @@ def _build_fused(sys: TransportSystem, D_vec, mu_vec, R_batch):
             parts64.append(R_batch.astype(sys.R.A64.dtype))
         dofs_parts.append(_np.asarray(sys.R.dofs))
     A64 = jnp.concatenate(parts64, axis=1)         # (B, N_total, nd, nd)
+    # layout (nd, nd, N, B): each contraction term is then a contiguous
+    # (N, B) plane -- strided 4-D slices of a big argument were a remote-
+    # compile hazard (kernel never finished compiling)
+    A64 = jnp.transpose(A64, (2, 3, 1, 0))        # (nd, nd, N, B)
     dofs = _np.concatenate(dofs_parts, axis=0)
     ids = dofs.ravel()
     perm = _np.argsort(ids, kind="stable")
@@ -459,17 +468,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                                       fused.ids_sorted, fused.ndofs)
 
     def _fused_apply(Aarr, X):
-        Xe = X[dofs_f]                             # (N, nd, B)
-        Ac = Aarr.astype(X.dtype)
-        nd = Xe.shape[1]
-        Ye = jnp.stack(
-            [sum(jnp.moveaxis(Ac[:, :, i, j], 0, 1) * Xe[:, j, :]
-                 for j in range(nd))
-             for i in range(nd)], axis=1)
-        N, _, Bc = Ye.shape
-        return jax.ops.segment_sum(
-            Ye.reshape(N * nd, Bc)[perm_f], ids_f,
-            num_segments=ndofs_f, indices_are_sorted=True)
+        return _fused_apply_impl(Aarr, dofs_f, perm_f, ids_f, ndofs_f, X)
 
     def _A_bc_fn(a_args, X):
         (Aarr,) = a_args
