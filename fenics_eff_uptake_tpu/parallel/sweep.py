@@ -460,30 +460,49 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
 
     nonsym = sys.Adv is not None
     krylov = batched_bicgstab if nonsym else batched_cg
-
-    # fuse coefficients into ONE element array (one scatter per iteration)
-    fused = _build_fused(sys, D_vec, mu_vec, R_batch)
     free = sys.free
-    dofs_f, perm_f, ids_f, ndofs_f = (fused.dofs, fused.perm,
-                                      fused.ids_sorted, fused.ndofs)
 
-    def _fused_apply(Aarr, X):
-        return _fused_apply_impl(Aarr, dofs_f, perm_f, ids_f, ndofs_f, X)
+    import os as _os0
+    use_fused = _os0.environ.get("FEU_FUSED", "0") == "1"
+    if use_fused:
+        # fuse coefficients into ONE element array (one scatter per
+        # iteration).  OPT-IN: the fused per-sample kernel stalls the
+        # remote TPU compiler at large shapes (round-1 finding); the
+        # separate-blocks path is the proven default.
+        fused = _build_fused(sys, D_vec, mu_vec, R_batch)
+        dofs_f, perm_f, ids_f, ndofs_f = (fused.dofs, fused.perm,
+                                          fused.ids_sorted, fused.ndofs)
 
-    def _A_bc_fn(a_args, X):
-        (Aarr,) = a_args
-        Y = _fused_apply(Aarr, jnp.where(free[:, None], X, 0.0))
-        return jnp.where(free[:, None], Y, X)
+        def _fused_apply(Aarr, X):
+            return _fused_apply_impl(Aarr, dofs_f, perm_f, ids_f,
+                                     ndofs_f, X)
 
-    A64 = (_A_bc_fn, (fused.A64,))
-    A32 = (_A_bc_fn, (fused.A32,))
+        def _A_bc_fn(a_args, X):
+            (Aarr,) = a_args
+            Y = _fused_apply(Aarr, jnp.where(free[:, None], X, 0.0))
+            return jnp.where(free[:, None], Y, X)
 
-    _, _, diag = _batched_operator(sys, D_vec, mu_vec, R_batch, f32=False)
-    G = jnp.tile(sys.bc_values[:, None], (1, B))
-    # fused arrays enter jits as ARGUMENTS (hundreds of MB; constants
-    # would exceed the remote-compile transport limit)
-    RHS = jax.jit(lambda Aarr, G_: jnp.where(
-        free[:, None], -_fused_apply(Aarr, G_), G_))(fused.A64, G)
+        A64 = (_A_bc_fn, (fused.A64,))
+        A32 = (_A_bc_fn, (fused.A32,))
+        _, _, diag = _batched_operator(sys, D_vec, mu_vec, R_batch,
+                                       f32=False)
+        G = jnp.tile(sys.bc_values[:, None], (1, B))
+        RHS = jax.jit(lambda Aarr, G_: jnp.where(
+            free[:, None], -_fused_apply(Aarr, G_), G_))(fused.A64, G)
+        res_fn_args = (fused.A64,)
+        res_A_fn = _A_bc_fn
+    else:
+        A_raw64, A64_cb, diag = _batched_operator(sys, D_vec, mu_vec,
+                                                  R_batch, f32=False)
+        _, A32_cb, _ = _batched_operator(sys, D_vec, mu_vec, R_batch,
+                                         f32=True)
+        A64 = ((lambda a, X: A64_cb(X)), ())
+        A32 = ((lambda a, X: A32_cb(X)), ())
+        G = jnp.tile(sys.bc_values[:, None], (1, B))
+        RHS = jax.jit(lambda G_: jnp.where(
+            free[:, None], -A_raw64(G_), G_))(G)
+        res_fn_args = ()
+        res_A_fn = lambda a, X: A64_cb(X)
     X0 = G  # exact on constrained dofs from the start
     dinv = jnp.where(free[:, None] & (diag != 0),
                      1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
@@ -536,11 +555,11 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         resnorm = bnorm.copy()
         # jit the whole f64 residual computation: eagerly it is dozens of
         # small dispatches, each paying the device-tunnel round-trip
-        residual_fn = jax.jit(lambda Aarr, RHS_, X_: (
+        residual_fn = jax.jit(lambda a, RHS_, X_: (
             lambda Rr: (Rr, jnp.linalg.norm(Rr, axis=0)))(
-                RHS_ - _A_bc_fn((Aarr,), X_)))
+                RHS_ - res_A_fn(a, X_)))
         for _ref in range(12):
-            Rres, rn_dev = residual_fn(fused.A64, RHS, X)
+            Rres, rn_dev = residual_fn(res_fn_args, RHS, X)
             resnorm = np.asarray(rn_dev)
             _tt = _t(f"refine {_ref}: f64 residual "
                      f"(max {resnorm.max():.2e})", _tt)
