@@ -251,7 +251,11 @@ def make_preconditioner(tl: TwoLevelData, dinv, f32=False):
             rc = _restrict(w, Rw)
             y = A0inv @ rc                                 # (nc,B) shared
             t = W.T @ y                                    # (r,B)
-            u = jnp.einsum("brs,sb->rb", Cinv, t, **mm)    # (r,B)
+            # per-sample capacitance solve as a clean leading-batch matmul
+            # (mixed-position batch einsums stall the remote compiler)
+            u_b = jnp.matmul(Cinv, jnp.moveaxis(t, 1, 0)[..., None],
+                             **mm)                         # (B,r,1)
+            u = jnp.moveaxis(u_b[..., 0], 0, 1)            # (r,B)
             xc = y - Z @ u                                 # (nc,B)
             fine = jnp.einsum("nk,nkb->nb", w, xc[cols], **mm)
             return (theta * dinv32 * Rw + fine).astype(R.dtype)
@@ -264,7 +268,9 @@ def make_preconditioner(tl: TwoLevelData, dinv, f32=False):
         Ainv, dinv32, w = m_args
         Rw = R.astype(jnp.float32)
         rc = _restrict(w, Rw)
-        xc = jnp.einsum("bij,jb->ib", Ainv, rc, **mm)      # (nc,B)
+        xc_b = jnp.matmul(Ainv, jnp.moveaxis(rc, 1, 0)[..., None],
+                          **mm)                            # (B,nc,1)
+        xc = jnp.moveaxis(xc_b[..., 0], 0, 1)              # (nc,B)
         fine = jnp.einsum("nk,nkb->nb", w, xc[cols], **mm)
         return (theta * dinv32 * Rw + fine).astype(R.dtype)
 
