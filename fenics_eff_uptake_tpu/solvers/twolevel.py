@@ -148,7 +148,13 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
     # plenty for a preconditioner.
     Ainv = A0inv = Z = W = Cinv = None
     same_D = np.allclose(D_vec, D_vec[0])
-    if (same_D and robin_matrices_coarse is None and R_c is not None):
+    import os as _os
+    use_woodbury = _os.environ.get("FEU_WOODBURY", "0") == "1"
+    # NOTE: the Woodbury coarse-apply stalls the axon remote compiler in
+    # every formulation tried (round-1 finding); per-sample inverses are
+    # the proven default, Woodbury is opt-in (fine on CPU).
+    if (use_woodbury and same_D and robin_matrices_coarse is None
+            and R_c is not None):
         # Woodbury path: A_b = A0 + mu_b R_c, ONE nc^3 inverse total.
         # Factor R_c = W W^T on its (small) support via eigh.
         sup = np.flatnonzero(np.abs(R_c).sum(0) > 0)
