@@ -3,13 +3,14 @@
 TPU-native equivalent of ``pure_diffusion_solver`` /
 ``pure_diffusion_solver_variable_mu`` (ref solvers.py:113-231):
 
-  weak form:  D grad(c).grad(phi) dx [+ (u.grad c) phi dx] + mu(x) c phi ds_4
+  weak form:  D grad(c).grad(phi) dx + mu(x) c phi ds_4
   BCs:        c=1 on left (marker 1), c=0 on right (marker 2) (Dirichlet),
               Robin on the whole bottom (marker 4).
 
-The operator is SPD for u=0, solved with Jacobi-CG; post-solve the
-reference's tiny-negative clamp (|min|<1e-12 -> 0) is applied
-(ref solvers.py:154-173, 216-228).
+Solves route through the chunked batched engine (parallel/sweep.py, B=1):
+one code path for single runs and sweeps, and no device dispatch outlives
+the TPU runtime's execution cap.  Post-solve the reference's tiny-negative
+clamp (|min| < 1e-12 -> 0) is applied (ref solvers.py:154-173, 216-228).
 """
 
 from __future__ import annotations
@@ -42,7 +43,11 @@ class LinearSystem(NamedTuple):
 
 def build_diffusion_system(space: FunctionSpace, D, mu,
                            u_values=None, u_space=None) -> LinearSystem:
-    """Assemble the (adv-)diffusion + Robin operator with Dirichlet BCs."""
+    """Assemble the (adv-)diffusion + Robin operator with Dirichlet BCs.
+
+    (Retained for unit tests / scipy cross-checks; production solves go
+    through parallel/sweep.py.)
+    """
     mesh = space.mesh
     blocks = [stiffness_block(space, D=D)]
     if u_values is not None:
@@ -67,22 +72,45 @@ def _clamp_tiny_negative(values):
                      jnp.maximum(values, 0.0), values)
 
 
+def _transport_solve(mesh: MeshData, D, mu, element, rtol, maxiter,
+                     u: Optional[Function] = None,
+                     coarse_mesh=None) -> Function:
+    """Shared single-run solve via the chunked batched engine (B=1)."""
+    from ..parallel.sweep import (build_transport_system,
+                                  robin_matrices_for_mu, solve_sweep)
+    u_values = None if u is None else u.values
+    u_space = None if u is None else u.space
+    sys_t = build_transport_system(mesh, element=element,
+                                   u_values=u_values, u_space=u_space)
+    if np.isscalar(mu):
+        X, info = solve_sweep(sys_t, [float(D)], mu_values=[float(mu)],
+                              rtol=rtol, maxiter=maxiter,
+                              coarse_mesh=coarse_mesh)
+    else:
+        R = np.asarray(robin_matrices_for_mu(sys_t, mu))[None]
+        X, info = solve_sweep(sys_t, [float(D)], robin_matrices=R,
+                              rtol=rtol, maxiter=maxiter,
+                              coarse_mesh=coarse_mesh)
+    vals = X[0]
+    vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
+    vals = _clamp_tiny_negative(vals)
+    fn = Function(sys_t.space, vals)
+    fn.solver_info = {
+        "iters": int(info["iters"][0]),
+        "resnorm": float(info["resnorm"][0]),
+        "converged": bool(np.isfinite(info["resnorm"][0])),
+    }
+    return fn
+
+
 def pure_diffusion_solve(mesh: MeshData, D=1.0, mu=1.0, element="P2",
-                         rtol=1e-13, maxiter=50000) -> Function:
+                         rtol=1e-13, maxiter=50000,
+                         coarse_mesh=None) -> Function:
     """End-to-end pure-diffusion solve; returns the concentration Function.
 
     ``mu`` may be a scalar or a vectorised mu(x) callable (variable-mu path,
     ref solvers.py:176-231 -- callables are clamped to >= 0 at quadrature
     points inside robin_facet_block).
     """
-    space = FunctionSpace(mesh, element)
-    sys = build_diffusion_system(space, D, mu)
-    res = cg(sys.apply, sys.rhs, M=sys.precond, rtol=rtol, maxiter=maxiter)
-    vals = _clamp_tiny_negative(res.x)
-    fn = Function(space, vals)
-    fn.solver_info = {
-        "iters": int(res.iters),
-        "resnorm": float(res.resnorm),
-        "converged": bool(res.converged),
-    }
-    return fn
+    return _transport_solve(mesh, D, mu, element, rtol, maxiter,
+                            coarse_mesh=coarse_mesh)

@@ -153,10 +153,13 @@ def run_simulation(mode, study_type, config_name, domain_type,
 
     # 3) concentration (ref simulation.py:142-166)
     with timer.stage("transport"):
+        coarse = get_coarse_mesh(params, domain_type)
         if mode == "no-adv":
-            c = pure_diffusion_solve(mesh, D=params.D, mu=params.mu)
+            c = pure_diffusion_solve(mesh, D=params.D, mu=params.mu,
+                                     coarse_mesh=coarse)
         else:
-            c = advdiff_solve(mesh, u, D=params.D, mu=params.mu)
+            c = advdiff_solve(mesh, u, D=params.D, mu=params.mu,
+                              coarse_mesh=coarse)
     if verbose and hasattr(c, "solver_info"):
         arr = c.as_numpy()
         print(f"[{config_name}] transport solve: {c.solver_info}; "
