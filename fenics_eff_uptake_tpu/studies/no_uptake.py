@@ -36,6 +36,7 @@ from .common import create_study_dirs, save_csv, save_metadata
 
 __all__ = ["run_geometry_study", "run_rectangular_baselines",
            "add_ratio_metrics", "export_profile_samples_csv_sulci",
+           "export_profile_stats_csv",
            "replot_from_csv", "PECLET_NUMBERS", "PROFILE_GEOMETRIES"]
 
 PECLET_NUMBERS = [0.1, 1.0, 10.0]
@@ -231,6 +232,37 @@ def collect_profile_rows(c, mesh, params, geometry_key, config_name,
     return rows
 
 
+def export_profile_stats_csv(profile_runs, out_dir):
+    """Per-line profile statistics CSVs (ref :394-434): one
+    profiles_<geometry>.csv with min/max/avg per line per Pe."""
+    import pandas as pd
+    os.makedirs(out_dir, exist_ok=True)
+    by_geom: Dict[str, list] = {}
+    for run in profile_runs:
+        rows = run["rows"]
+        if not rows:
+            continue
+        df = pd.DataFrame(rows)
+        for (ltype, name, pe), sub in df.groupby(
+                ["LineType", "LineName", "Peclet"]):
+            by_geom.setdefault(run["geometry"], []).append({
+                "Geometry": run["geometry"], "Peclet": pe,
+                "line_type": ltype, "name": name,
+                "x": None if ltype == "horizontal"
+                else float(sub["x"].iloc[0]),
+                "y": float(sub["y"].iloc[0])
+                if ltype == "horizontal" else None,
+                "min_c": float(sub["c"].min()),
+                "max_c": float(sub["c"].max()),
+                "avg_c": float(sub["c"].mean()),
+                "n_samples": int(len(sub)),
+            })
+    for gkey, rows in by_geom.items():
+        path = os.path.join(out_dir, f"profiles_{gkey}.csv")
+        pd.DataFrame(rows).to_csv(path, index=False)
+        print(f"  profile stats written: {path}")
+
+
 def export_profile_samples_csv_sulci(profile_runs, out_dir):
     """One CSV per geometry: profiles_samples_<geometry>.csv (ref :361-393)."""
     import pandas as pd
@@ -307,6 +339,7 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
     if profile_runs:
         prof_dir = os.path.join(study_dir, "Profiles")
         export_profile_samples_csv_sulci(profile_runs, prof_dir)
+        export_profile_stats_csv(profile_runs, prof_dir)
         try:
             from ..plotting.no_uptake_plots import (
                 plot_profiles_grid_from_samples_csv)
