@@ -1,0 +1,1 @@
+"""Batch study drivers (the reference's four analysis scripts + ladder)."""
