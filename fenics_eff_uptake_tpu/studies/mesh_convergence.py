@@ -30,27 +30,28 @@ DEFAULT_LADDER = [0.08, 0.057, 0.04, 0.028, 0.02]
 
 
 def richardson(h, q):
-    """Estimated order + extrapolated limit from the last 3 ladder points."""
+    """Estimated order + extrapolated limit from the last 3 ladder points.
+
+    Assumes q(h) ~ q0 + C h^p on a (roughly) geometric ladder
+    h1 > h2 > h3: then r = (q2-q1)/(q3-q2) = ((h1^p - h2^p)/(h2^p - h3^p)),
+    which for h1/h2 = h2/h3 = s reduces to r = s^p, giving
+    p = log r / log s and q0 = q3 + (q3 - q2)/(r - 1).
+    Returns (None, q_finest) when the differences are not monotone.
+    """
     h = np.asarray(h, dtype=float)
     q = np.asarray(q, dtype=float)
     if len(q) < 3:
-        return None, None
+        return None, (float(q[-1]) if len(q) else None)
     h1, h2, h3 = h[-3:]
     q1, q2, q3 = q[-3:]
-    try:
-        # assume q(h) = q0 + C h^p with h3 < h2 < h1
-        num = (q2 - q1)
-        den = (q3 - q2)
-        if den == 0 or num / den <= 0:
-            return None, q3
-        p = np.log(num / den) / np.log(h2 / h3) * np.sign(1.0)
-        # solve with ratio r = (h2/h3)^p
-        r = (q2 - q1) / (q3 - q2)
-        q0 = q3 + (q3 - q2) / (r - 1.0) if r != 1.0 else q3
-        p_est = np.log(r) / np.log(h1 / h2)
-        return float(p_est), float(q0)
-    except Exception:
+    d12, d23 = q2 - q1, q3 - q2
+    if d23 == 0 or d12 / d23 <= 0 or d12 / d23 == 1.0:
         return None, float(q3)
+    r = d12 / d23
+    s = np.sqrt((h1 / h3))          # effective geometric step ratio
+    p_est = float(np.log(r) / np.log(s))
+    q0 = float(q3 + d23 / (r - 1.0))
+    return p_est, q0
 
 
 def run_mesh_convergence(mu_factors=(0.1, 1.0, 10.0), ladder=None,
