@@ -1,0 +1,309 @@
+"""Batched metrics: all post-processing for a whole sweep in ONE dispatch.
+
+The per-run metrics engine (analysis/flux.py etc.) issues dozens of small
+eager device ops; through the TPU tunnel each pays ~0.1-1 s of latency, so
+a 20-point sweep spends minutes in metrics (measured: the dominant tail of
+TPU study runs).  This module precomputes the facet/cell quadrature tables
+once per (mesh, space) and evaluates every boundary/interface/mass integral
+for ALL sweep columns in one jitted call returning (B,) arrays, which the
+study drivers then reshape into the reference's metric dict schema.
+
+Pure-diffusion form (u = 0) -- the no-adv studies' path; the advective
+terms remain on the per-run engine for now.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assembly import cell_geometry
+from ..fem.elements import tabulate
+from ..fem.quadrature import triangle_rule
+from ..fem.space import Function, FunctionSpace
+from ..meshing.mesh_data import MARKERS, MeshData
+from .facets import build_facet_quad
+from .flux import boundary_quad, mouth_quad
+
+__all__ = ["SweepMetrics", "build_sweep_metrics", "metrics_to_dicts"]
+
+
+class SweepMetrics(NamedTuple):
+    fn: "object"          # jitted (X (B,n), mu_vec (B,)) -> dict of (B,)
+    space: FunctionSpace
+
+
+def _batch_eval(fq, X):
+    """(B, F, Q) field values on facets for all columns."""
+    ce = X[:, fq.cell_dofs]                        # (B,F,nd)
+    return jnp.einsum("fqi,bfi->bfq", fq.phi, ce)
+
+
+def _batch_grad_n(fq, X):
+    """(B, F, Q) normal gradient on facets for all columns."""
+    ce = X[:, fq.cell_dofs]
+    g = jnp.einsum("fqia,bfi->bfqa", fq.grad, ce)  # (B,F,Q,2)
+    return jnp.einsum("bfqa,fa->bfq", g, fq.normal)
+
+
+def _batch_facet_integral(fq, density):
+    """(B,) integral of a (B,F,Q) density over the facet set."""
+    return jnp.einsum("q,bfq,f->b", fq.qw, density, fq.length)
+
+
+def build_sweep_metrics(space: FunctionSpace, mesh: MeshData, D,
+                        degree=4) -> SweepMetrics:
+    """Build the jitted all-metrics kernel for a pure-diffusion sweep."""
+    quads = {}
+    for name in ("left", "right", "top", "bottom"):
+        quads[name] = boundary_quad(space, mesh.bc_marker == MARKERS[name],
+                                    degree)
+    seg_quads = {}
+    if mesh.domain_type == "sulcus":
+        for name in ("bottom_left", "sulcus", "bottom_right"):
+            seg_quads[name] = boundary_quad(
+                space, mesh.bottom_marker == MARKERS[name], degree)
+        quads["y0_ext"] = boundary_quad(
+            space, mesh.y0_marker == MARKERS["y0_line"], degree)
+        quads["mouth"] = mouth_quad(space, degree)
+
+    # cell quadrature for mass integrals
+    qp, qw = triangle_rule(degree)
+    phi_c = jnp.asarray(tabulate(space.element, qp))
+    detJ, _ = cell_geometry(jnp.asarray(mesh.vertices),
+                            jnp.asarray(mesh.cells))
+    cdofs = jnp.asarray(space.cell_dofs)
+    qwj = jnp.asarray(qw)
+    if mesh.domain_type == "sulcus":
+        cav_mask = jnp.asarray(mesh.cell_domain == 1)
+    else:
+        cav_mask = None
+    area_cell = qwj.sum() * detJ   # integral of 1 per cell
+
+    def fn(X, mu_vec):
+        out = {}
+        # physical diffusive fluxes per bc boundary (u = 0: no advective)
+        for name in ("left", "right", "top", "bottom"):
+            fq = quads[name]
+            if fq is None:
+                out[f"flux_{name}"] = jnp.zeros(X.shape[0])
+                continue
+            out[f"flux_{name}"] = _batch_facet_integral(
+                fq, -D * _batch_grad_n(fq, X))
+        # Robin uptake on bottom: mu_b * int c
+        fb = quads["bottom"]
+        cint_bottom = _batch_facet_integral(fb, _batch_eval(fb, X))
+        out["uptake_bottom"] = mu_vec * cint_bottom
+
+        if mesh.domain_type == "sulcus":
+            for name, fq in seg_quads.items():
+                if fq is None:
+                    out[f"flux_{name}"] = jnp.zeros(X.shape[0])
+                    out[f"uptake_{name}"] = jnp.zeros(X.shape[0])
+                    continue
+                out[f"flux_{name}"] = _batch_facet_integral(
+                    fq, -D * _batch_grad_n(fq, X))
+                out[f"uptake_{name}"] = mu_vec * _batch_facet_integral(
+                    fq, _batch_eval(fq, X))
+            # exterior flat y0 + channel-side mouth trace
+            fy = quads["y0_ext"]
+            mq = quads["mouth"]
+            d_ext = (_batch_facet_integral(fy, -D * _batch_grad_n(fy, X))
+                     if fy is not None else jnp.zeros(X.shape[0]))
+            if mq is not None:
+                q_open = -D * _batch_grad_n(mq, X)       # (B,F,Q)
+                J_open = _batch_facet_integral(mq, q_open)
+                out["E_L1"] = _batch_facet_integral(mq, jnp.abs(q_open))
+                out["Q_in"] = _batch_facet_integral(
+                    mq, jnp.maximum(q_open, 0.0))
+                out["Q_out"] = _batch_facet_integral(
+                    mq, jnp.maximum(-q_open, 0.0))
+                out["C_mouth"] = _batch_facet_integral(
+                    mq, _batch_eval(mq, X))
+            else:
+                J_open = jnp.zeros(X.shape[0])
+                out["E_L1"] = out["Q_in"] = out["Q_out"] = J_open
+                out["C_mouth"] = J_open
+            out["flux_mouth"] = J_open
+            out["flux_y0_ext"] = d_ext
+            out["C_y0_ext"] = (_batch_facet_integral(
+                fy, _batch_eval(fy, X)) if fy is not None
+                else jnp.zeros(X.shape[0]))
+
+        # mass integrals
+        cq = jnp.einsum("qi,bti->btq", phi_c, X[:, cdofs])   # (B,T,Q)
+        per_cell = jnp.einsum("q,btq,t->bt", qwj, cq, detJ)  # (B,T)
+        out["total_mass"] = per_cell.sum(axis=1)
+        if cav_mask is not None:
+            out["sulcus_mass"] = jnp.where(cav_mask[None, :], per_cell,
+                                           0.0).sum(axis=1)
+        return out
+
+    return SweepMetrics(fn=jax.jit(fn), space=space)
+
+
+def metrics_to_dicts(sm: SweepMetrics, mesh: MeshData, X, mu_values, D,
+                     params_list):
+    """Run the batched kernel and expand into the reference's metric dicts.
+
+    Returns (flux_metrics_list, mass_metrics_list, mu_eff_list).
+    Geometry scalars (areas, lengths) are computed once on host.
+    """
+    from .mu_eff import (compute_mu_eff_arc, compute_mu_eff_enh,
+                         compute_mu_eff_metrics)
+
+    B = X.shape[0]
+    mu_vec = jnp.asarray(np.asarray(mu_values, dtype=np.float64))
+    raw = {k: np.asarray(v) for k, v in sm.fn(X, mu_vec).items()}
+
+    areas = mesh.cell_areas()
+    total_area = float(areas.sum())
+    sulc = mesh.cell_domain == 1
+    sulcus_area = float(areas[sulc].sum())
+    rect_area = total_area - sulcus_area
+    is_sulcus = mesh.domain_type == "sulcus"
+    if is_sulcus:
+        iy = mesh.interior_y0
+        v = mesh.vertices
+        L_mouth = float(np.linalg.norm(
+            v[iy.edges[:, 1]] - v[iy.edges[:, 0]], axis=1).sum()) \
+            if iy is not None else 0.0
+        e = mesh.boundary.edges[mesh.y0_marker == MARKERS["y0_line"]]
+        L_y0_ext = float(np.linalg.norm(
+            v[e[:, 1]] - v[e[:, 0]], axis=1).sum())
+
+    flux_list, mass_list, mueff_list = [], [], []
+    for b in range(B):
+        def F(name):
+            return {"diffusive": float(raw[f"flux_{name}"][b]),
+                    "advective": 0.0,
+                    "total": float(raw[f"flux_{name}"][b])}
+
+        fm = {
+            "physical_flux": {n: F(n) for n in
+                              ("left", "right", "top", "bottom")},
+            "uptake_flux": float(raw["uptake_bottom"][b]),
+        }
+        if is_sulcus:
+            segs = {n: F(n) for n in
+                    ("bottom_left", "sulcus", "bottom_right")}
+            J_open = float(raw["flux_mouth"][b])
+            segs["sulcus_opening"] = {"diffusive": J_open,
+                                      "advective": 0.0, "total": J_open}
+            E_L1 = float(raw["E_L1"][b])
+            segs["sulcus_opening_extra"] = {
+                "E_L1": E_L1,
+                "E_avg": E_L1 / L_mouth if L_mouth > 0 else 0.0,
+                "Q_in": float(raw["Q_in"][b]),
+                "Q_out": float(raw["Q_out"][b]),
+                "net_check": float(raw["Q_in"][b] - raw["Q_out"][b]),
+                "length": L_mouth,
+            }
+            d_y0 = float(raw["flux_y0_ext"][b]) + J_open
+            segs["y0_flux"] = {"diffusive": d_y0, "advective": 0.0,
+                               "total": d_y0}
+            segs["bottom_combined"] = {
+                f: sum(segs[k][f] for k in
+                       ("bottom_left", "sulcus", "bottom_right"))
+                for f in ("diffusive", "advective", "total")}
+            segs["y0_combined"] = {
+                f: sum(segs[k][f] for k in
+                       ("bottom_left", "bottom_right", "sulcus_opening"))
+                for f in ("diffusive", "advective", "total")}
+            segs["_y0_identity_gap"] = abs(
+                segs["y0_flux"]["total"] - segs["y0_combined"]["total"])
+            fm["sulcus_specific"] = {
+                "physical_flux": segs,
+                "uptake_flux": {
+                    "bottom_left": float(raw["uptake_bottom_left"][b]),
+                    "sulcus": float(raw["uptake_sulcus"][b]),
+                    "bottom_right": float(raw["uptake_bottom_right"][b]),
+                    "total": float(raw["uptake_bottom_left"][b]
+                                   + raw["uptake_sulcus"][b]
+                                   + raw["uptake_bottom_right"][b]),
+                },
+            }
+        flux_list.append(fm)
+
+        tm = float(raw["total_mass"][b])
+        if is_sulcus:
+            sm_ = float(raw["sulcus_mass"][b])
+            rm = tm - sm_
+            mass_list.append({
+                "total_mass": tm, "sulcus_mass": sm_,
+                "rectangle_mass": rm,
+                "total_area": total_area, "sulcus_area": sulcus_area,
+                "rectangle_area": rect_area,
+                "average_concentration": {
+                    "total": tm / total_area,
+                    "sulcus_region": (sm_ / sulcus_area
+                                      if sulcus_area > 0 else None),
+                    "rectangle_region": (rm / rect_area
+                                         if rect_area > 0 else None),
+                },
+            })
+        else:
+            mass_list.append({
+                "total_mass": tm, "total_area": total_area,
+                "average_concentration": tm / total_area,
+            })
+
+        if is_sulcus:
+            params = params_list[b]
+            C_mouth = float(raw["C_mouth"][b])
+            C_ext = float(raw["C_y0_ext"][b])
+            C_tot = C_mouth + C_ext
+            mu = float(params.mu)
+            arc = compute_mu_eff_arc(params)
+            enh = compute_mu_eff_enh(params)
+            J_y0 = flux_list[-1]["sulcus_specific"]["physical_flux"][
+                "y0_flux"]["total"]
+            sim = J_y0 / C_tot if C_tot > 0 else None
+            open_ = (flux_list[-1]["sulcus_specific"]["physical_flux"][
+                "sulcus_opening"]["total"] / C_mouth
+                if C_mouth > 0 else None)
+
+            def _ratio(x):
+                return (float(x / mu) if x is not None and mu != 0
+                        else None)
+
+            def _pct(a, t):
+                return (float(abs(a - t) / abs(t) * 100.0)
+                        if a is not None and t not in (None, 0.0) else None)
+
+            mueff_list.append({
+                "mu_eff_arc": arc, "mu_eff_enh": enh,
+                "mu_eff_sim": sim, "mu_eff_open": open_,
+                "ratios": {"arc": _ratio(arc), "enh": _ratio(enh),
+                           "sim": _ratio(sim), "open": _ratio(open_)},
+                "errors_vs_sim": {"arc": _pct(arc, sim),
+                                  "enh": _pct(enh, sim),
+                                  "open": _pct(open_, sim)},
+                "audit": {
+                    "concentrations": {"C_y0_ext": C_ext,
+                                       "C_mouth": C_mouth,
+                                       "C_y0_total": C_tot},
+                    "lengths": {"L_y0_ext": L_y0_ext,
+                                "L_mouth": L_mouth,
+                                "L_y0_total": L_y0_ext + L_mouth},
+                    "means": {
+                        "mean_y0_ext": (C_ext / L_y0_ext
+                                        if L_y0_ext > 0 else np.nan),
+                        "mean_mouth": (C_mouth / L_mouth
+                                       if L_mouth > 0 else np.nan),
+                        "mean_y0_total": (
+                            C_tot / (L_y0_ext + L_mouth)
+                            if (L_y0_ext + L_mouth) > 0 else np.nan),
+                    },
+                    "fluxes": {"J_y0_total": J_y0,
+                               "J_sigma_mouth": flux_list[-1][
+                                   "sulcus_specific"]["physical_flux"][
+                                   "sulcus_opening"]["total"]},
+                },
+            })
+        else:
+            mueff_list.append(None)
+    return flux_list, mass_list, mueff_list

@@ -15,9 +15,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..analysis.flux import compute_flux_metrics
-from ..analysis.mass import compute_mass_metrics
-from ..analysis.mu_eff import compute_mu_eff_metrics
 from ..fem.space import Function, FunctionSpace
 from ..meshing.mesh_data import MeshData
 from ..params import Parameters
@@ -70,33 +67,41 @@ def no_adv_batch(geom_params: Parameters, mu_factors: List[float],
               f"{len(mus)} solves in {time.time() - t0:.2f}s "
               f"(iters={info['iters'].tolist()})")
 
-    space = FunctionSpace(mesh, "P2")
-    out = []
-    for i, f in enumerate(mu_factors):
-        params = make_no_adv_params(
+    space = sys.space
+    params_list = [
+        make_no_adv_params(
             f, sulci_w_dim=geom_params.sulci_w_dim,
             sulci_h_dim=geom_params.sulci_h_dim,
             mesh_size_dim=geom_params.mesh_size_dim,
             L_dim=geom_params.L_dim, H_dim=geom_params.H_dim,
             refinement_factor=geom_params.refinement_factor)
+        for f in mu_factors]
+
+    # batched metrics: ONE jitted dispatch for all sweep columns (the
+    # per-run engine's eager dispatches dominate TPU study wall-clock)
+    from ..analysis.batched_metrics import (build_sweep_metrics,
+                                            metrics_to_dicts)
+    import jax.numpy as jnp
+    sm = build_sweep_metrics(space, mesh, D=geom_params.D)
+    flux_list, mass_list, mueff_list = metrics_to_dicts(
+        sm, mesh, jnp.asarray(X), mus, geom_params.D, params_list)
+
+    out = []
+    for i, f in enumerate(mu_factors):
         c = Function(space, X[i])
-        flux = compute_flux_metrics(c, None, mesh, domain_type,
-                                    params.D, params.mu, warn=False)
-        mass = compute_mass_metrics(c, mesh, domain_type)
         res = {
             "c": c, "u": None, "p": None,
-            "mass_metrics": mass,
-            "flux_metrics": flux,
+            "mass_metrics": mass_list[i],
+            "flux_metrics": flux_list[i],
             "vel_metrics": {},
-            "params": params,
+            "params": params_list[i],
             "mesh_results": {"mesh": mesh, "mesh_info": mesh.mesh_info()},
             "domain_type": domain_type,
             "solver": {"iters": int(info["iters"][i]),
                        "resnorm": float(info["resnorm"][i])},
         }
         if domain_type == "sulcus":
-            res["mu_eff_comparison"] = compute_mu_eff_metrics(
-                c, mesh, params, flux)
+            res["mu_eff_comparison"] = mueff_list[i]
         out.append(res)
     return out
 

@@ -161,3 +161,51 @@ def test_boundary_flux_export(sulcus_solution, tmp_path):
     rel = abs(out["physical"].sum() - out["robin"].sum()) / abs(
         out["robin"].sum())
     assert rel < 0.05
+
+
+def test_batched_metrics_match_per_run(sulcus_solution):
+    """The single-dispatch sweep metrics equal the per-run engine."""
+    import jax.numpy as jnp
+    from fenics_eff_uptake_tpu.analysis.batched_metrics import (
+        build_sweep_metrics, metrics_to_dicts)
+    md, c = sulcus_solution
+
+    class P:
+        L, H = 5.0, 1.0
+        L_dim, H_dim = 5.0, 1.0
+        sulci_h, sulci_w = 1.0, 0.5
+        mu = 1.0
+        mode = "no-adv"
+
+    sm = build_sweep_metrics(c.space, md, D=1.0)
+    X = jnp.stack([c.values, c.values * 0.5])
+    flux_l, mass_l, mueff_l = metrics_to_dicts(
+        sm, md, X, [1.0, 2.0], 1.0, [P, P])
+    ref_fm = compute_flux_metrics(c, None, md, "sulcus", 1.0, 1.0,
+                                  warn=False)
+    ref_mm = compute_mass_metrics(c, md, "sulcus")
+    ref_me = compute_mu_eff_metrics(c, md, P, ref_fm)
+    fm, mm, me = flux_l[0], mass_l[0], mueff_l[0]
+    for k in ("left", "right", "top", "bottom"):
+        assert fm["physical_flux"][k]["total"] == pytest.approx(
+            ref_fm["physical_flux"][k]["total"], rel=1e-10)
+    assert fm["uptake_flux"] == pytest.approx(ref_fm["uptake_flux"],
+                                              rel=1e-10)
+    sf = fm["sulcus_specific"]["physical_flux"]
+    rf = ref_fm["sulcus_specific"]["physical_flux"]
+    for k in ("bottom_left", "sulcus", "bottom_right", "sulcus_opening",
+              "y0_flux"):
+        assert sf[k]["total"] == pytest.approx(rf[k]["total"], rel=1e-10)
+    assert sf["sulcus_opening_extra"]["E_L1"] == pytest.approx(
+        rf["sulcus_opening_extra"]["E_L1"], rel=1e-10)
+    assert mm["total_mass"] == pytest.approx(ref_mm["total_mass"],
+                                             rel=1e-12)
+    assert mm["average_concentration"]["sulcus_region"] == pytest.approx(
+        ref_mm["average_concentration"]["sulcus_region"], rel=1e-10)
+    assert me["mu_eff_sim"] == pytest.approx(ref_me["mu_eff_sim"],
+                                             rel=1e-9)
+    assert me["mu_eff_open"] == pytest.approx(ref_me["mu_eff_open"],
+                                              rel=1e-9)
+    # second column scales linearly where expected (c halved)
+    assert mass_l[1]["total_mass"] == pytest.approx(
+        0.5 * mm["total_mass"], rel=1e-12)
