@@ -8,8 +8,11 @@ once per (mesh, space) and evaluates every boundary/interface/mass integral
 for ALL sweep columns in one jitted call returning (B,) arrays, which the
 study drivers then reshape into the reference's metric dict schema.
 
-Pure-diffusion form (u = 0) -- the no-adv studies' path; the advective
-terms remain on the per-run engine for now.
+Supports the full advection-diffusion bookkeeping: pass a velocity
+Function (shared across the batch -- the nondimensional Stokes field is
+Pe-independent), per-sample diffusivities ``D_vec`` (for Pe sweeps), and
+per-sample spatially varying uptake profiles ``mu_profiles`` (step-mu).
+With none of those, it reduces to the pure-diffusion no-adv path.
 """
 
 from __future__ import annotations
@@ -55,8 +58,19 @@ def _batch_facet_integral(fq, density):
 
 
 def build_sweep_metrics(space: FunctionSpace, mesh: MeshData, D,
-                        degree=4) -> SweepMetrics:
-    """Build the jitted all-metrics kernel for a pure-diffusion sweep."""
+                        degree=4, u=None, mu_profiles=None) -> SweepMetrics:
+    """Build the jitted all-metrics kernel for a sweep.
+
+    D            default diffusivity baked into the kernel; per-sample
+                 values can be supplied at call time via ``D_vec``.
+    u            optional velocity Function (vector space), SHARED across
+                 the batch; its facet normal traces u.n are baked in as
+                 (F, Q) constants (ref analysis.py:29-37 advective term).
+    mu_profiles  optional list (len B) of callables mu(x) evaluated at the
+                 bottom/segment quad points and baked as (B, F, Q) tables;
+                 overrides the runtime ``mu_vec`` for the uptake integrals
+                 (the adv-diff step-mu studies, ref analysis.py:307-333).
+    """
     quads = {}
     for name in ("left", "right", "top", "bottom"):
         quads[name] = boundary_quad(space, mesh.bc_marker == MARKERS[name],
@@ -83,39 +97,95 @@ def build_sweep_metrics(space: FunctionSpace, mesh: MeshData, D,
         cav_mask = None
     area_cell = qwj.sum() * detJ   # integral of 1 per cell
 
-    def fn(X, mu_vec):
+    # baked u.n traces per facet set (shared across the batch)
+    un_tab = {}
+    if u is not None:
+        for name, fq in list(quads.items()) + list(seg_quads.items()):
+            if fq is None:
+                un_tab[name] = None
+                continue
+            uq = fq.eval_vector(u.values, u.space)          # (F,Q,2)
+            un_tab[name] = jnp.einsum("fqa,fa->fq", uq, fq.normal)
+
+    # baked per-sample mu(x) quadrature tables (step-mu sweeps)
+    mu_tab = {}
+    if mu_profiles is not None:
+        names = ["bottom"] + (list(seg_quads) if seg_quads else [])
+        for name in names:
+            fq = quads.get(name) or seg_quads.get(name)
+            if fq is None:
+                mu_tab[name] = None
+                continue
+            mu_tab[name] = jnp.asarray(np.stack(
+                [np.asarray(m(fq.x[:, :, 0]), dtype=np.float64)
+                 for m in mu_profiles]))                    # (B,F,Q)
+
+    def _uptake(name, fq, X, mu_vec):
+        cq = _batch_eval(fq, X)
+        if name in mu_tab:
+            mt = mu_tab[name]
+            if mt is None:
+                return jnp.zeros(X.shape[0])
+            return _batch_facet_integral(fq, mt * cq)
+        return mu_vec * _batch_facet_integral(fq, cq)
+
+    def fn(X, mu_vec, D_vec=None):
+        B = X.shape[0]
+        # scalar default or per-sample (B,1,1) broadcast over (B,F,Q)
+        Ds = D if D_vec is None else D_vec[:, None, None]
+        zeros = jnp.zeros(B)
+
+        def densities(name, fq):
+            """(diffusive, advective) (B,F,Q) flux densities on fq."""
+            dd = -Ds * _batch_grad_n(fq, X)
+            un = un_tab.get(name)
+            ad = (un[None, :, :] * _batch_eval(fq, X)
+                  if un is not None else None)
+            return dd, ad
+
         out = {}
-        # physical diffusive fluxes per bc boundary (u = 0: no advective)
+        # physical fluxes per bc boundary
         for name in ("left", "right", "top", "bottom"):
             fq = quads[name]
             if fq is None:
-                out[f"flux_{name}"] = jnp.zeros(X.shape[0])
+                out[f"flux_{name}"] = out[f"adv_{name}"] = zeros
                 continue
-            out[f"flux_{name}"] = _batch_facet_integral(
-                fq, -D * _batch_grad_n(fq, X))
-        # Robin uptake on bottom: mu_b * int c
-        fb = quads["bottom"]
-        cint_bottom = _batch_facet_integral(fb, _batch_eval(fb, X))
-        out["uptake_bottom"] = mu_vec * cint_bottom
+            dd, ad = densities(name, fq)
+            out[f"flux_{name}"] = _batch_facet_integral(fq, dd)
+            out[f"adv_{name}"] = (_batch_facet_integral(fq, ad)
+                                  if ad is not None else zeros)
+        # Robin uptake on bottom: int mu(x) c ds
+        out["uptake_bottom"] = _uptake("bottom", quads["bottom"], X, mu_vec)
 
         if mesh.domain_type == "sulcus":
             for name, fq in seg_quads.items():
                 if fq is None:
-                    out[f"flux_{name}"] = jnp.zeros(X.shape[0])
-                    out[f"uptake_{name}"] = jnp.zeros(X.shape[0])
+                    out[f"flux_{name}"] = out[f"adv_{name}"] = zeros
+                    out[f"uptake_{name}"] = zeros
                     continue
-                out[f"flux_{name}"] = _batch_facet_integral(
-                    fq, -D * _batch_grad_n(fq, X))
-                out[f"uptake_{name}"] = mu_vec * _batch_facet_integral(
-                    fq, _batch_eval(fq, X))
+                dd, ad = densities(name, fq)
+                out[f"flux_{name}"] = _batch_facet_integral(fq, dd)
+                out[f"adv_{name}"] = (_batch_facet_integral(fq, ad)
+                                      if ad is not None else zeros)
+                out[f"uptake_{name}"] = _uptake(name, fq, X, mu_vec)
             # exterior flat y0 + channel-side mouth trace
             fy = quads["y0_ext"]
             mq = quads["mouth"]
-            d_ext = (_batch_facet_integral(fy, -D * _batch_grad_n(fy, X))
-                     if fy is not None else jnp.zeros(X.shape[0]))
+            if fy is not None:
+                dd, ad = densities("y0_ext", fy)
+                d_ext = _batch_facet_integral(fy, dd)
+                a_ext = (_batch_facet_integral(fy, ad)
+                         if ad is not None else zeros)
+            else:
+                d_ext = a_ext = zeros
             if mq is not None:
-                q_open = -D * _batch_grad_n(mq, X)       # (B,F,Q)
-                J_open = _batch_facet_integral(mq, q_open)
+                dd, ad = densities("mouth", mq)
+                J_open = _batch_facet_integral(mq, dd)
+                J_open_adv = (_batch_facet_integral(mq, ad)
+                              if ad is not None else zeros)
+                # exchange metrics use the TOTAL signed density
+                # (ref analysis.py:252-263)
+                q_open = dd if ad is None else dd + ad
                 out["E_L1"] = _batch_facet_integral(mq, jnp.abs(q_open))
                 out["Q_in"] = _batch_facet_integral(
                     mq, jnp.maximum(q_open, 0.0))
@@ -124,14 +194,16 @@ def build_sweep_metrics(space: FunctionSpace, mesh: MeshData, D,
                 out["C_mouth"] = _batch_facet_integral(
                     mq, _batch_eval(mq, X))
             else:
-                J_open = jnp.zeros(X.shape[0])
-                out["E_L1"] = out["Q_in"] = out["Q_out"] = J_open
-                out["C_mouth"] = J_open
+                J_open = J_open_adv = zeros
+                out["E_L1"] = out["Q_in"] = out["Q_out"] = zeros
+                out["C_mouth"] = zeros
             out["flux_mouth"] = J_open
+            out["adv_mouth"] = J_open_adv
             out["flux_y0_ext"] = d_ext
+            out["adv_y0_ext"] = a_ext
             out["C_y0_ext"] = (_batch_facet_integral(
                 fy, _batch_eval(fy, X)) if fy is not None
-                else jnp.zeros(X.shape[0]))
+                else zeros)
 
         # mass integrals
         cq = jnp.einsum("qi,bti->btq", phi_c, X[:, cdofs])   # (B,T,Q)
@@ -146,18 +218,22 @@ def build_sweep_metrics(space: FunctionSpace, mesh: MeshData, D,
 
 
 def metrics_to_dicts(sm: SweepMetrics, mesh: MeshData, X, mu_values, D,
-                     params_list):
+                     params_list, D_values=None):
     """Run the batched kernel and expand into the reference's metric dicts.
 
     Returns (flux_metrics_list, mass_metrics_list, mu_eff_list).
     Geometry scalars (areas, lengths) are computed once on host.
+    ``D_values`` (len B) supplies per-sample diffusivities (Pe sweeps);
+    otherwise the build-time scalar D applies to every column.
     """
     from .mu_eff import (compute_mu_eff_arc, compute_mu_eff_enh,
                          compute_mu_eff_metrics)
 
     B = X.shape[0]
     mu_vec = jnp.asarray(np.asarray(mu_values, dtype=np.float64))
-    raw = {k: np.asarray(v) for k, v in sm.fn(X, mu_vec).items()}
+    D_vec = (None if D_values is None
+             else jnp.asarray(np.asarray(D_values, dtype=np.float64)))
+    raw = {k: np.asarray(v) for k, v in sm.fn(X, mu_vec, D_vec).items()}
 
     areas = mesh.cell_areas()
     total_area = float(areas.sum())
@@ -178,9 +254,9 @@ def metrics_to_dicts(sm: SweepMetrics, mesh: MeshData, X, mu_values, D,
     flux_list, mass_list, mueff_list = [], [], []
     for b in range(B):
         def F(name):
-            return {"diffusive": float(raw[f"flux_{name}"][b]),
-                    "advective": 0.0,
-                    "total": float(raw[f"flux_{name}"][b])}
+            d = float(raw[f"flux_{name}"][b])
+            a = float(raw[f"adv_{name}"][b])
+            return {"diffusive": d, "advective": a, "total": d + a}
 
         fm = {
             "physical_flux": {n: F(n) for n in
@@ -191,8 +267,10 @@ def metrics_to_dicts(sm: SweepMetrics, mesh: MeshData, X, mu_values, D,
             segs = {n: F(n) for n in
                     ("bottom_left", "sulcus", "bottom_right")}
             J_open = float(raw["flux_mouth"][b])
+            J_open_adv = float(raw["adv_mouth"][b])
             segs["sulcus_opening"] = {"diffusive": J_open,
-                                      "advective": 0.0, "total": J_open}
+                                      "advective": J_open_adv,
+                                      "total": J_open + J_open_adv}
             E_L1 = float(raw["E_L1"][b])
             segs["sulcus_opening_extra"] = {
                 "E_L1": E_L1,
@@ -203,8 +281,9 @@ def metrics_to_dicts(sm: SweepMetrics, mesh: MeshData, X, mu_values, D,
                 "length": L_mouth,
             }
             d_y0 = float(raw["flux_y0_ext"][b]) + J_open
-            segs["y0_flux"] = {"diffusive": d_y0, "advective": 0.0,
-                               "total": d_y0}
+            a_y0 = float(raw["adv_y0_ext"][b]) + J_open_adv
+            segs["y0_flux"] = {"diffusive": d_y0, "advective": a_y0,
+                               "total": d_y0 + a_y0}
             segs["bottom_combined"] = {
                 f: sum(segs[k][f] for k in
                        ("bottom_left", "sulcus", "bottom_right"))

@@ -209,3 +209,72 @@ def test_batched_metrics_match_per_run(sulcus_solution):
     # second column scales linearly where expected (c halved)
     assert mass_l[1]["total_mass"] == pytest.approx(
         0.5 * mm["total_mass"], rel=1e-12)
+
+
+def test_batched_metrics_advective_match_per_run(sulcus_solution):
+    """Advective + per-sample D + step-mu batched metrics equal the
+    per-run engine column by column."""
+    import jax.numpy as jnp
+    from fenics_eff_uptake_tpu.analysis.batched_metrics import (
+        build_sweep_metrics, metrics_to_dicts)
+    from fenics_eff_uptake_tpu.fem.space import FunctionSpace, Function
+    md, c = sulcus_solution
+
+    # analytic velocity shared across the batch (need not be physical:
+    # the equivalence is a quadrature identity, not a PDE property)
+    V = FunctionSpace(md, "P2", vs=2)
+    xy = V.dof_coords
+    uv = np.zeros(V.ndofs)
+    uv[0::2] = xy[:, 1] * (1.0 - xy[:, 1]) + 0.1          # u_x(y)
+    uv[1::2] = 0.05 * np.sin(xy[:, 0])                    # u_y(x)
+    u = Function(V, jnp.asarray(uv))
+
+    D_vals = [1.0, 0.4]
+    mu_vals = [1.0, 3.0]
+
+    def mu0(x):
+        return np.where(np.abs(np.asarray(x) - 2.5) < 0.25, 2.0, 0.5)
+
+    def mu1(x):
+        return np.full_like(np.asarray(x, dtype=np.float64), 3.0)
+
+    class P:
+        L, H = 5.0, 1.0
+        L_dim, H_dim = 5.0, 1.0
+        sulci_h, sulci_w = 1.0, 0.5
+        mu = 1.0
+        mode = "adv-diff"
+
+    sm = build_sweep_metrics(c.space, md, D=1.0, u=u,
+                             mu_profiles=[mu0, mu1])
+    X = jnp.stack([c.values, c.values * 0.5])
+    flux_l, mass_l, _ = metrics_to_dicts(sm, md, X, mu_vals, 1.0,
+                                         [P, P], D_values=D_vals)
+    c1 = Function(c.space, c.values * 0.5)
+    for b, (cb, Db, mub) in enumerate(
+            zip([c, c1], D_vals, [mu0, mu1])):
+        ref = compute_flux_metrics(cb, u, md, "sulcus", Db, mub,
+                                   warn=False)
+        fm = flux_l[b]
+        for k in ("left", "right", "top", "bottom"):
+            for f in ("diffusive", "advective", "total"):
+                assert fm["physical_flux"][k][f] == pytest.approx(
+                    ref["physical_flux"][k][f], rel=1e-10, abs=1e-13), (
+                    b, k, f)
+        assert fm["uptake_flux"] == pytest.approx(
+            ref["uptake_flux"], rel=1e-10)
+        sf = fm["sulcus_specific"]["physical_flux"]
+        rf = ref["sulcus_specific"]["physical_flux"]
+        for k in ("bottom_left", "sulcus", "bottom_right",
+                  "sulcus_opening", "y0_flux"):
+            for f in ("diffusive", "advective", "total"):
+                assert sf[k][f] == pytest.approx(
+                    rf[k][f], rel=1e-10, abs=1e-13), (b, k, f)
+        for k in ("E_L1", "Q_in", "Q_out"):
+            assert sf["sulcus_opening_extra"][k] == pytest.approx(
+                rf["sulcus_opening_extra"][k], rel=1e-10)
+        ru = ref["sulcus_specific"]["uptake_flux"]
+        bu = fm["sulcus_specific"]["uptake_flux"]
+        for k in ("bottom_left", "sulcus", "bottom_right", "total"):
+            assert bu[k] == pytest.approx(ru[k], rel=1e-10, abs=1e-13), (
+                b, k)
