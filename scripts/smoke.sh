@@ -33,8 +33,14 @@ if [[ "${1:-fast}" == "full" ]]; then
     echo "== golden staleness =="
     python scripts/refresh_goldens.py --check
     echo "== multichip dryrun (8 virtual devices) =="
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    # env alone doesn't select CPU when a TPU plugin is registered;
+    # force it via jax.config like tests/conftest.py does
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+EOF
 else
     echo "== fast test subset =="
     python -m pytest tests/test_meshing.py tests/test_fem.py \
