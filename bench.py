@@ -25,6 +25,7 @@ REF_SECONDS_PER_POINT = 2.0  # assumed serial FEniCS assembly+LU per point
 N_MU = 20
 MESH_SIZE = float(os.environ.get("BENCH_MESH_SIZE", "0.02"))
 PRECISION = os.environ.get("BENCH_PRECISION", None)  # default: auto
+PRECOND = os.environ.get("BENCH_PRECOND", "ml")      # ml | twolevel
 
 
 def main():
@@ -36,15 +37,18 @@ def main():
                                                       solve_sweep)
     from fenics_eff_uptake_tpu.studies.phase_a import MU_SWEEP_REGIMES
 
+    kw = dict(width=10.0, height=1.0, sulcus_depth=0.25, sulcus_width=0.25,
+              refinement_factor=1, domain_type="sulcus")
     t_mesh = time.time()
-    mesh = generate_mesh(width=10.0, height=1.0,
-                         sulcus_depth=0.25, sulcus_width=0.25,
-                         mesh_size=MESH_SIZE, refinement_factor=1,
-                         domain_type="sulcus")
-    coarse = generate_mesh(width=10.0, height=1.0,
-                           sulcus_depth=0.25, sulcus_width=0.25,
-                           mesh_size=max(4 * MESH_SIZE, 0.08),
-                           refinement_factor=1, domain_type="sulcus")
+    mesh = generate_mesh(mesh_size=MESH_SIZE, **kw)
+    if PRECOND == "ml":
+        aux_meshes = [generate_mesh(mesh_size=max(3 * MESH_SIZE, 0.06),
+                                    **kw),
+                      generate_mesh(mesh_size=max(9 * MESH_SIZE, 0.18),
+                                    **kw)]
+    else:
+        aux_meshes = [generate_mesh(mesh_size=max(4 * MESH_SIZE, 0.08),
+                                    **kw)]
     t_mesh = time.time() - t_mesh
 
     # first build includes one-time XLA compiles (persistently cached);
@@ -63,24 +67,36 @@ def main():
     D = np.ones_like(mus)
 
     rtol = 1e-11
-    # two-level coarse data is part of the per-sweep setup; built once here
-    from fenics_eff_uptake_tpu.solvers.twolevel import build_twolevel
+    # preconditioner setup is part of the per-sweep cost; built once here
     t_tl = time.time()
-    tl = build_twolevel(sys_t, coarse, D, mu_values=mus)
-    jax.block_until_ready(tl.Ainv if tl.Ainv is not None else tl.A0inv)
+    solver_kw = {}
+    if PRECOND == "ml":
+        from fenics_eff_uptake_tpu.solvers.multilevel import (
+            build_multilevel)
+        ml = build_multilevel(sys_t, aux_meshes, D, mu_values=mus)
+        jax.block_until_ready(ml.Ainv)
+        solver_kw["multilevel"] = ml
+        solver_kw["chunk_iters"] = int(
+            os.environ.get("BENCH_CHUNK", "50"))
+    else:
+        from fenics_eff_uptake_tpu.solvers.twolevel import build_twolevel
+        tl = build_twolevel(sys_t, aux_meshes[0], D, mu_values=mus)
+        jax.block_until_ready(tl.Ainv if tl.Ainv is not None
+                              else tl.A0inv)
+        solver_kw["twolevel"] = tl
     t_tl = time.time() - t_tl
 
     # warmup/compile
     t_compile = time.time()
     X, info = solve_sweep(sys_t, D, mu_values=mus, rtol=rtol,
-                          precision=PRECISION, twolevel=tl)
+                          precision=PRECISION, **solver_kw)
     jax.block_until_ready(X)
     t_compile = time.time() - t_compile
 
     # steady state (re-solve with perturbed mus to avoid caching the result)
     t0 = time.time()
     X, info = solve_sweep(sys_t, D, mu_values=mus * 1.0000001, rtol=rtol,
-                          precision=PRECISION, twolevel=tl)
+                          precision=PRECISION, **solver_kw)
     jax.block_until_ready(X)
     t_solve = time.time() - t0
 
@@ -97,6 +113,9 @@ def main():
         "steady_solve_s": round(t_solve, 3),
         "iters": np.asarray(info["iters"]).tolist(),
         "max_resnorm": float(np.max(info["resnorm"])),
+        "max_rel_resnorm": float(np.max(info.get("rel_resnorm",
+                                                 info["resnorm"]))),
+        "preconditioner": PRECOND,
         "backend": jax.default_backend(),
         "assembled_dofs_per_s": (int(sys_t.ndofs / t_asm)
                                  if t_asm > 0 else None),

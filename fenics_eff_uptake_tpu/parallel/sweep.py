@@ -415,7 +415,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                 robin_matrices=None, rtol=1e-12, maxiter=50000,
                 precision=None, chunk_iters=None,
                 coarse_mesh=None, u_coarse=None, robin_coarse=None,
-                twolevel=None):
+                twolevel=None, multilevel=None):
     """Batched transport solve over sweep points.
 
     D_values: (B,); mu_values: (B,) scalars (ignored if robin_matrices
@@ -528,6 +528,9 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
     _tt = _t("twolevel build", _tt)
 
     def make_M(f32):
+        if multilevel is not None:
+            from ..solvers.multilevel import make_ml_preconditioner
+            return make_ml_preconditioner(multilevel, f32=f32)
         dv = dinv.astype(jnp.float32) if f32 else dinv
         if tl is None:
             return ((lambda m_args, R: m_args[0] * R), (dv,))
@@ -574,8 +577,11 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
             total_iters += res.iters
         iters = total_iters
     # strip shape-bucketing padding dofs (see build_transport_system)
+    bnorm_out = np.asarray(jnp.linalg.norm(RHS, axis=0))
+    rel = np.asarray(resnorm) / np.where(bnorm_out > 0, bnorm_out, 1.0)
     return (jnp.moveaxis(X, 0, 1)[:, :sys.space.ndofs],
-            {"iters": np.asarray(iters), "resnorm": np.asarray(resnorm)})
+            {"iters": np.asarray(iters), "resnorm": np.asarray(resnorm),
+             "rel_resnorm": rel})
 
 
 # ---------------------------------------------------------------------------

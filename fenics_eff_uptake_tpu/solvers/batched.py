@@ -126,15 +126,21 @@ def batched_cg(A, B_rhs, M=None,
     X = X0
     chunk = _cached_chunk(_cg_chunk, A_fn, M_fn, chunk_iters)
 
+    B = B_rhs.shape[1]
     iters = 0
     rn = np.asarray(_colnorm(R))
     tol_np = np.asarray(tol)
+    # per-column iteration counts (chunk granularity: a column's count is
+    # the iteration total of the first chunk after which it was converged)
+    col_iters = np.zeros(B, dtype=np.int64)
     while iters < maxiter and (rn > tol_np).any():
+        active = rn > tol_np
         X, R, Z, P, rz, rn_dev = chunk(a_args, m_args, X, R, Z, P, rz,
                                        tol)
         iters += chunk_iters
         rn = np.asarray(rn_dev)
-    return BatchedResult(X=X, iters=np.full(B_rhs.shape[1], iters),
+        col_iters[active] = iters
+    return BatchedResult(X=X, iters=col_iters,
                          resnorm=rn, converged=rn <= tol_np)
 
 
@@ -201,10 +207,13 @@ def batched_bicgstab(A, B_rhs, M=None,
     iters = 0
     rn = np.asarray(_colnorm(R))
     tol_np = np.asarray(tol)
+    col_iters = np.zeros(B, dtype=np.int64)
     while iters < maxiter and (rn > tol_np).any():
+        active = rn > tol_np
         X, R, P, V, rho, alpha, omega, rn_dev = chunk(
             a_args, m_args, X, R, Rhat, P, V, rho, alpha, omega, tol)
         iters += chunk_iters
         rn = np.asarray(rn_dev)
-    return BatchedResult(X=X, iters=np.full(B, iters),
+        col_iters[active] = iters
+    return BatchedResult(X=X, iters=col_iters,
                          resnorm=rn, converged=rn <= tol_np)

@@ -26,10 +26,6 @@ from typing import Dict, List
 
 import numpy as np
 
-from ..analysis.flux import compute_flux_metrics
-from ..analysis.mass import compute_mass_metrics
-from ..analysis.mu_eff import compute_mu_eff_metrics
-from ..fem.space import Function
 from ..models.stokes_flow import stokes_solve
 from ..params import Parameters, StepUptakeOpen
 from ..parallel.sweep import (build_transport_system, robin_matrices_for_mu,
@@ -119,15 +115,25 @@ def run_advdiff_step_validation(
         print(f"[sulcus] {len(cells)} transport solves in "
               f"{time.time()-t1:.1f}s (iters={info_s['iters'].tolist()})")
 
+    # ONE batched metrics dispatch for all 9 sulcus cells
+    # (analysis/batched_metrics.py with advective terms + per-sample D)
+    from ..analysis.batched_metrics import (build_sweep_metrics,
+                                            metrics_to_dicts)
+    import jax.numpy as jnp
+    params_s = [create_base_parameters(Pe, mf, mesh_size_dim)
+                for (Pe, mf) in cells]
+    sm_s = build_sweep_metrics(sys_s.space, sulc_mesh, D=1.0, u=u_s)
+    flux_s, mass_s, mueff_s = metrics_to_dicts(
+        sm_s, sulc_mesh, jnp.asarray(Xs), mu_batch, 1.0, params_s,
+        D_values=D_batch)
+
     rows = []
     sulc_results: Dict = {}
     for i, (Pe, mf) in enumerate(cells):
-        params = create_base_parameters(Pe, mf, mesh_size_dim)
-        c = Function(sys_s.space, Xs[i])
-        fm = compute_flux_metrics(c, u_s, sulc_mesh, "sulcus",
-                                  params.D, params.mu, warn=False)
-        mm = compute_mass_metrics(c, sulc_mesh, "sulcus")
-        me = compute_mu_eff_metrics(c, sulc_mesh, params, fm)
+        params = params_s[i]
+        fm = flux_s[i]
+        mm = mass_s[i]
+        me = mueff_s[i]
         sulc_results[(Pe, mf)] = {"params": params, "mu_eff": me,
                                   "mass": mm}
         fl = _flux_row(fm, "sulcus")
@@ -179,15 +185,23 @@ def run_advdiff_step_validation(
         print(f"[rect] {len(cells)} surrogate solves in "
               f"{time.time()-t1:.1f}s (iters={info_r['iters'].tolist()})")
 
+    # ONE batched metrics dispatch for the 9 rect surrogates: the step
+    # mu(x) profiles bake in as (B,F,Q) quadrature tables
+    params_r = [create_base_parameters(Pe, mf, mesh_size_dim)
+                for (Pe, mf) in cells]
+    for i, step in enumerate(steps):
+        params_r[i].mu = step
+        params_r[i].mu_dim = step
+    sm_r = build_sweep_metrics(sys_r.space, rect_mesh, D=1.0, u=u_r,
+                               mu_profiles=steps)
+    flux_r, mass_r, _ = metrics_to_dicts(
+        sm_r, rect_mesh, jnp.asarray(Xr), [0.0] * len(cells), 1.0,
+        params_r, D_values=D_batch)
+
     for i, (Pe, mf) in enumerate(cells):
-        params = create_base_parameters(Pe, mf, mesh_size_dim)
-        step = steps[i]
-        params.mu = step
-        params.mu_dim = step
-        c = Function(sys_r.space, Xr[i])
-        fm = compute_flux_metrics(c, u_r, rect_mesh, "rectangular",
-                                  params.D, step, warn=False)
-        mm = compute_mass_metrics(c, rect_mesh, "rectangular")
+        params = params_r[i]
+        fm = flux_r[i]
+        mm = mass_r[i]
         me = sulc_results[(Pe, mf)]["mu_eff"]
         avg_s = sulc_results[(Pe, mf)]["mass"][
             "average_concentration"]["total"]

@@ -24,8 +24,6 @@ from typing import Dict, List
 
 import numpy as np
 
-from ..analysis.flux import compute_flux_metrics
-from ..analysis.mass import compute_mass_metrics
 from ..analysis.profiles import compute_conc_profiles, compute_velocity_metrics
 from ..fem.space import Function
 from ..models.stokes_flow import stokes_solve
@@ -120,14 +118,22 @@ def run_rectangular_baselines(peclet_numbers=None, mesh_size_dim=None,
     X, info = solve_sweep(sys, D_batch, mu_values=[0.0] * len(D_batch),
                           precision=precision,
                           coarse_mesh=get_coarse_mesh(p0, "rectangular"))
+    from ..analysis.batched_metrics import (build_sweep_metrics,
+                                            metrics_to_dicts)
+    import jax.numpy as jnp
+    params_list = [_make_params(pe, mesh_size_dim=mesh_size_dim)
+                   for pe in peclet_numbers]
+    sm = build_sweep_metrics(sys.space, mesh, D=1.0, u=u)
+    flux_list, mass_list, _ = metrics_to_dicts(
+        sm, mesh, jnp.asarray(X), [0.0] * len(peclet_numbers), 1.0,
+        params_list, D_values=D_batch)
+    vm_shared = compute_velocity_metrics(u, mesh, params_list[0])
     rows = []
     for i, pe in enumerate(peclet_numbers):
-        params = _make_params(pe, mesh_size_dim=mesh_size_dim)
-        c = Function(sys.space, X[i])
-        fm = compute_flux_metrics(c, u, mesh, "rectangular", params.D, 0.0,
-                                  warn=False)
-        mm = compute_mass_metrics(c, mesh, "rectangular")
-        vm = compute_velocity_metrics(u, mesh, params)
+        params = params_list[i]
+        fm = flux_list[i]
+        mm = mass_list[i]
+        vm = vm_shared
         pf = fm.get("physical_flux", {})
         D_dim = params.U_ref_dim * params.H_dim / params.Pe
         rows.append({
@@ -306,21 +312,28 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
                                   mu_values=[0.0] * len(D_batch),
                                   precision=precision,
                                   coarse_mesh=get_coarse_mesh(p0, "sulcus"))
-            vm = None
+            # ONE batched metrics dispatch for all Pe columns
+            # (analysis/batched_metrics.py; equivalence-tested vs the
+            # per-run engine -- see tests/test_analysis.py)
+            from ..analysis.batched_metrics import (build_sweep_metrics,
+                                                    metrics_to_dicts)
+            import jax.numpy as jnp
+            params_list = [_make_params(pe, w, h, mesh_size_dim)
+                           for pe in peclet_numbers]
+            sm = build_sweep_metrics(sys.space, mesh, D=1.0, u=u)
+            flux_list, mass_list, _ = metrics_to_dicts(
+                sm, mesh, jnp.asarray(X), [0.0] * len(peclet_numbers),
+                1.0, params_list, D_values=D_batch)
+            vm = compute_velocity_metrics(u, mesh, params_list[0])
             for i, pe in enumerate(peclet_numbers):
-                params = _make_params(pe, w, h, mesh_size_dim)
-                c = Function(sys.space, X[i])
-                fm = compute_flux_metrics(c, u, mesh, "sulcus",
-                                          params.D, 0.0, warn=False)
-                mm = compute_mass_metrics(c, mesh, "sulcus")
-                if vm is None:   # velocity is Pe-independent
-                    vm = compute_velocity_metrics(u, mesh, params)
-                rows.append(_sulcus_row(params, mm, fm, vm))
+                rows.append(_sulcus_row(params_list[i], mass_list[i],
+                                        flux_list[i], vm))
                 if gkey in PROFILE_GEOMETRIES:
+                    c = Function(sys.space, X[i])
                     profile_runs.append({
                         "geometry": gkey,
                         "rows": collect_profile_rows(
-                            c, mesh, params, gkey, gkey)})
+                            c, mesh, params_list[i], gkey, gkey)})
             if verbose:
                 print(f"  {gkey}: {len(peclet_numbers)} Pe points in "
                       f"{time.time()-t1:.1f}s")

@@ -71,3 +71,34 @@ def test_batched_cg_partial_convergence_freeze():
     rel = np.abs(np.asarray(res.X) - X_direct).max(axis=0) / \
         np.abs(X_direct).max(axis=0)
     assert (rel < 1e-8).all()
+
+
+def test_multilevel_preconditioner_matches_jacobi():
+    """MG-preconditioned sweep == Jacobi-CG sweep, with far fewer iters."""
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.parallel.sweep import (
+        build_transport_system, solve_sweep)
+    from fenics_eff_uptake_tpu.solvers.multilevel import build_multilevel
+
+    kw = dict(width=5.0, height=1.0, sulcus_depth=0.25, sulcus_width=0.25,
+              refinement_factor=1, domain_type="sulcus")
+    mesh = generate_mesh(mesh_size=0.15, **kw)
+    mids = [generate_mesh(mesh_size=0.3, **kw),
+            generate_mesh(mesh_size=0.6, **kw)]
+    sys_t = build_transport_system(mesh, element="P2", pad_shapes=False)
+    mus = np.array([0.1, 1.0, 10.0])
+    D = np.ones_like(mus)
+    ml = build_multilevel(sys_t, mids, D, mu_values=mus)
+    X_ml, info_ml = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-12,
+                                precision="f64", multilevel=ml,
+                                chunk_iters=10, maxiter=1000)
+    X_j, info_j = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-12,
+                              precision="f64", chunk_iters=100,
+                              maxiter=20000)
+    assert np.abs(np.asarray(X_ml) - np.asarray(X_j)).max() < 1e-8
+    assert info_ml["iters"].max() < info_j["iters"].max() / 3
+    # mixed precision through the same preconditioner
+    X_m, _ = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-11,
+                         precision="mixed", multilevel=ml,
+                         chunk_iters=10, maxiter=1000)
+    assert np.abs(np.asarray(X_m) - np.asarray(X_j)).max() < 1e-7
