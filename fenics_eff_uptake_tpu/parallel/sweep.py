@@ -411,6 +411,130 @@ def _batched_operator(sys: TransportSystem, D_vec, mu_vec, R_batch, f32,
     return A_raw, A, diag
 
 
+# ---------------------------------------------------------------------------
+# Stable operator programs.
+#
+# EVERYTHING variable -- element matrices, gather/scatter plans, Dirichlet
+# masks, sweep coefficients -- enters the jitted Krylov chunks as
+# ARGUMENTS.  Closure constants would (a) re-trace + recompile whenever a
+# mu batch or mesh changes (measured round 2: the whole "steady" solve was
+# re-compiling) and (b) defeat shape bucketing: with arrays as arguments,
+# every mesh in the same size bucket shares ONE compiled chunk.  Function
+# objects are cached by STRUCTURE key so solvers/batched.py's chunk cache
+# hits across solve_sweep calls, meshes, and studies.
+# ---------------------------------------------------------------------------
+
+_PROG_CACHE: Dict[tuple, tuple] = {}
+
+
+class _BlockArgs(NamedTuple):
+    """One element block's arrays, as runtime arguments."""
+    A: jnp.ndarray
+    dofs: jnp.ndarray
+    perm: jnp.ndarray
+    ids_sorted: jnp.ndarray
+
+    @classmethod
+    def of(cls, b: _Block, f32: bool):
+        return cls(A=b.A32 if f32 else b.A64, dofs=b.dofs, perm=b.perm,
+                   ids_sorted=b.ids_sorted)
+
+
+def _args_block_apply(ba: _BlockArgs, ndofs: int, X, coef=None,
+                      A_batch=None):
+    """_Block.apply_batched with the arrays taken from arguments."""
+    blk = _Block(A64=ba.A, A32=ba.A, dofs=ba.dofs, perm=ba.perm,
+                 ids_sorted=ba.ids_sorted, ndofs=ndofs)
+    return blk.apply_batched(
+        X, f32=False, coef=coef,
+        A_override=None if A_batch is None else A_batch.astype(X.dtype))
+
+
+def sys_struct_key(sys: TransportSystem):
+    """Shape-bucket structure key: meshes in the same bucket share it."""
+    return (sys.ndofs,
+            sys.K.A64.shape[0],
+            None if sys.Adv is None else sys.Adv.A64.shape[0],
+            None if sys.R is None else sys.R.A64.shape[0])
+
+
+def operator_args(sys: TransportSystem, D_vec, mu_vec, R_batch, f32: bool):
+    """The runtime argument pytree for _operator_program's functions."""
+    dt = jnp.float32 if f32 else jnp.float64
+    return (
+        _BlockArgs.of(sys.K, f32),
+        None if sys.Adv is None else _BlockArgs.of(sys.Adv, f32),
+        None if sys.R is None else _BlockArgs.of(sys.R, f32),
+        sys.free,
+        D_vec.astype(dt),
+        mu_vec.astype(dt),
+        None if R_batch is None else R_batch.astype(dt),
+    )
+
+
+def _operator_program(struct_key):
+    """Returns (A_fn, rhs_fn, residual_fn, diag_fn); each takes the
+    operator_args(...) pytree as its first argument."""
+    hit = _PROG_CACHE.get(struct_key)
+    if hit is not None:
+        return hit
+    ndofs = struct_key[0]
+
+    def A_raw(a, X):
+        K, Adv, R, free, D_vec, mu_vec, R_batch = a
+        Y = _args_block_apply(K, ndofs, X, coef=D_vec.astype(X.dtype))
+        if Adv is not None:
+            Y = Y + _args_block_apply(Adv, ndofs, X)
+        if R is not None:
+            if R_batch is None:
+                Y = Y + _args_block_apply(R, ndofs, X,
+                                          coef=mu_vec.astype(X.dtype))
+            else:
+                Y = Y + _args_block_apply(R, ndofs, X, A_batch=R_batch)
+        return Y
+
+    def A_fn(a, X):
+        free = a[3]
+        Y = A_raw(a, jnp.where(free[:, None], X, 0.0))
+        return jnp.where(free[:, None], Y, X)
+
+    @jax.jit
+    def rhs_fn(a, G):
+        free = a[3]
+        return jnp.where(free[:, None], -A_raw(a, G), G)
+
+    @jax.jit
+    def residual_fn(a, RHS, X):
+        Rr = RHS - A_fn(a, X)
+        return Rr, jnp.linalg.norm(Rr, axis=0)
+
+    def _block_diag(ba: _BlockArgs):
+        blk = _Block(A64=ba.A, A32=ba.A, dofs=ba.dofs, perm=ba.perm,
+                     ids_sorted=ba.ids_sorted, ndofs=ndofs)
+        return blk.diagonal(A_override=ba.A)
+
+    @jax.jit
+    def diag_fn(a):
+        K, Adv, R, free, D_vec, mu_vec, R_batch = a
+        d = D_vec[None, :] * _block_diag(K)[:, None]
+        if Adv is not None:
+            d = d + _block_diag(Adv)[:, None]
+        if R is not None:
+            if R_batch is None:
+                d = d + mu_vec[None, :] * _block_diag(R)[:, None]
+            else:
+                blk = _Block(A64=R.A, A32=R.A, dofs=R.dofs, perm=R.perm,
+                             ids_sorted=R.ids_sorted, ndofs=ndofs)
+                d = d + blk.diagonal_batched(R_batch)
+        dinv = jnp.where(free[:, None] & (d != 0),
+                         1.0 / jnp.where(d != 0, d, 1.0), 1.0)
+        return dinv
+
+    prog = (A_fn, rhs_fn, residual_fn, diag_fn)
+    _PROG_CACHE[struct_key] = prog
+    return prog
+
+
 def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                 robin_matrices=None, rtol=1e-12, maxiter=50000,
                 precision=None, chunk_iters=None,
@@ -486,26 +610,32 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         A32 = (_A_bc_fn, (fused.A32,))
         _, _, diag = _batched_operator(sys, D_vec, mu_vec, R_batch,
                                        f32=False)
+        dinv = jnp.where(free[:, None] & (diag != 0),
+                         1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
         G = jnp.tile(sys.bc_values[:, None], (1, B))
         RHS = jax.jit(lambda Aarr, G_: jnp.where(
             free[:, None], -_fused_apply(Aarr, G_), G_))(fused.A64, G)
         res_fn_args = (fused.A64,)
         res_A_fn = _A_bc_fn
+        residual_fn = jax.jit(lambda a, RHS_, X_: (
+            lambda Rr: (Rr, jnp.linalg.norm(Rr, axis=0)))(
+                RHS_ - res_A_fn(a, X_)))
     else:
-        A_raw64, A64_cb, diag = _batched_operator(sys, D_vec, mu_vec,
-                                                  R_batch, f32=False)
-        _, A32_cb, _ = _batched_operator(sys, D_vec, mu_vec, R_batch,
-                                         f32=True)
-        A64 = ((lambda a, X: A64_cb(X)), ())
-        A32 = ((lambda a, X: A32_cb(X)), ())
+        # stable cached programs: element arrays + coefficients are
+        # runtime ARGUMENTS, so a new mu batch or a new same-bucket mesh
+        # reuses every compiled chunk (round-2 fix: the closure-constant
+        # form re-traced + re-compiled per call)
+        A_fn, rhs_fn, residual_fn, diag_fn = _operator_program(
+            sys_struct_key(sys))
+        a64 = operator_args(sys, D_vec, mu_vec, R_batch, f32=False)
+        a32 = operator_args(sys, D_vec, mu_vec, R_batch, f32=True)
+        A64 = (A_fn, a64)
+        A32 = (A_fn, a32)
         G = jnp.tile(sys.bc_values[:, None], (1, B))
-        RHS = jax.jit(lambda G_: jnp.where(
-            free[:, None], -A_raw64(G_), G_))(G)
-        res_fn_args = ()
-        res_A_fn = lambda a, X: A64_cb(X)
+        RHS = rhs_fn(a64, G)
+        dinv = diag_fn(a64)
+        res_fn_args = a64
     X0 = G  # exact on constrained dofs from the start
-    dinv = jnp.where(free[:, None] & (diag != 0),
-                     1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
 
     import os as _os
     import time as _time
@@ -556,11 +686,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         X = X0
         total_iters = np.zeros(B, dtype=np.int64)
         resnorm = bnorm.copy()
-        # jit the whole f64 residual computation: eagerly it is dozens of
-        # small dispatches, each paying the device-tunnel round-trip
-        residual_fn = jax.jit(lambda a, RHS_, X_: (
-            lambda Rr: (Rr, jnp.linalg.norm(Rr, axis=0)))(
-                RHS_ - res_A_fn(a, X_)))
+        # residual_fn is jitted and stable across calls (set above)
         for _ref in range(12):
             Rres, rn_dev = residual_fn(res_fn_args, RHS, X)
             resnorm = np.asarray(rn_dev)

@@ -255,76 +255,136 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
                                           + R_batches[:-1]))
 
 
-def _restrict(tr: _Transfer, R):
-    """(n_f, B) -> (n_c, B): P^T via sorted segment-sum."""
-    contrib = tr.weights[:, :, None] * R[:, None, :]       # (n,3,B)
-    n, _, B = contrib.shape
-    flat = contrib.reshape(n * 3, B)[tr.perm]
-    return jax.ops.segment_sum(flat, tr.ids_sorted,
-                               num_segments=tr.n_coarse,
-                               indices_are_sorted=True)
+# structure-keyed program cache: like parallel/sweep.py's operator
+# programs, ALL arrays (element matrices, transfers, diagonals, coarsest
+# inverses, coefficients) enter as arguments so the compiled V-cycle is
+# shared across mu batches and same-bucket meshes
+_ML_PROG_CACHE = {}
 
 
-def _prolong(tr: _Transfer, Xc):
-    """(n_c, B) -> (n_f, B): barycentric interpolation."""
-    return jnp.einsum("nk,nkb->nb", tr.weights, Xc[tr.cols],
-                      preferred_element_type=Xc.dtype)
+class _LevelArgs(NamedTuple):
+    K: "object"               # _BlockArgs
+    Adv: "object"             # _BlockArgs or None
+    R: "object"               # _BlockArgs or None
+    R_batch: "object"         # (B,F,nd,nd) or None
+    free: jnp.ndarray
+    dinv: jnp.ndarray         # (n_l, B)
+    t_cols: jnp.ndarray       # transfer to next coarser level
+    t_w: jnp.ndarray
+    t_perm: jnp.ndarray
+    t_ids: jnp.ndarray
 
 
-def make_ml_preconditioner(ml: MultilevelData, f32=True):
-    """M^{-1}: (n, B) -> (n, B) as one V(1,1) multigrid cycle.
+def _ml_struct_key(ml: MultilevelData, f32: bool):
+    from ..parallel.sweep import sys_struct_key
+    lv = tuple(
+        (sys_struct_key(lev.sys), lev.transfer.n_coarse,
+         ml.R_batches[i] is not None)
+        for i, lev in enumerate(ml.levels))
+    return (lv, int(ml.Ainv.shape[1]), bool(f32))
 
-    Returned as an (fn, args) pair (solvers/batched.py convention).  The
-    per-sample coarsest inverses travel as arguments; everything else is
-    closure constants (each level's element arrays are <= a few MB).
-    """
-    from ..parallel.sweep import _batched_operator
 
-    dt = jnp.float32 if f32 else jnp.float64
-    omega = ml.omega
-    D32 = ml.D_vec.astype(dt)
-    mu32 = ml.mu_vec.astype(dt)
+def _ml_program(struct_key):
+    hit = _ML_PROG_CACHE.get(struct_key)
+    if hit is not None:
+        return hit
+    from ..parallel.sweep import _args_block_apply
+    level_structs, nc, f32 = struct_key
+    n_mid = len(level_structs)
+    ndofs_l = [s[0][0] for s in level_structs]
+    ncoarse_l = [s[1] for s in level_structs]
 
-    # per-level constrained operator applies; ml.R_batches is aligned
-    # with ml.levels (fine first, then the mid levels)
-    applies = []
-    for i, lev in enumerate(ml.levels):
-        Rb = ml.R_batches[i]
-        if Rb is not None:
-            Rb = jnp.asarray(Rb).astype(dt)
-        _, A_l, _ = _batched_operator(lev.sys, D32, mu32, Rb, f32=f32)
-        applies.append(A_l)
+    def A_level(l, la: _LevelArgs, X, D_vec, mu_vec):
+        Y = _args_block_apply(la.K, ndofs_l[l], X,
+                              coef=D_vec.astype(X.dtype))
+        if la.Adv is not None:
+            Y = Y + _args_block_apply(la.Adv, ndofs_l[l], X)
+        if la.R is not None:
+            if la.R_batch is None:
+                Y = Y + _args_block_apply(la.R, ndofs_l[l], X,
+                                          coef=mu_vec.astype(X.dtype))
+            else:
+                Y = Y + _args_block_apply(la.R, ndofs_l[l], X,
+                                          A_batch=la.R_batch)
+        return jnp.where(la.free[:, None], Y,
+                         X)  # constrained rows: identity
 
-    levels = ml.levels
-    n_mid = len(levels)          # fine + mids; coarsest handled densely
-    free_c = ml.free_c
+    def A_masked(l, la, X, D_vec, mu_vec):
+        return A_level(l, la, jnp.where(la.free[:, None], X, 0.0),
+                       D_vec, mu_vec)
 
-    def vcycle(l, r, Ainv):
-        lev = levels[l]
-        A_l = applies[l]
-        # pre-smooth from zero: x = omega D^-1 r  (no A apply needed)
-        x = omega * lev.dinv * r
-        res = r - A_l(x)
-        rc = _restrict(lev.transfer, res)
+    def restrict(la: _LevelArgs, R, n_coarse):
+        contrib = la.t_w[:, :, None] * R[:, None, :]
+        n, _, B = contrib.shape
+        flat = contrib.reshape(n * 3, B)[la.t_perm]
+        return jax.ops.segment_sum(flat, la.t_ids,
+                                   num_segments=n_coarse,
+                                   indices_are_sorted=True)
+
+    def prolong(la: _LevelArgs, Xc):
+        return jnp.einsum("nk,nkb->nb", la.t_w, Xc[la.t_cols],
+                          preferred_element_type=Xc.dtype)
+
+    def vcycle(l, r, levels, free_c, Ainv, D_vec, mu_vec, omega):
+        la = levels[l]
+        x = omega * la.dinv * r
+        res = r - A_masked(l, la, x, D_vec, mu_vec)
+        rc = restrict(la, res, ncoarse_l[l])
         if l + 1 < n_mid:
             rc = jnp.where(levels[l + 1].free[:, None], rc, 0.0)
-            xc = vcycle(l + 1, rc, Ainv)
+            xc = vcycle(l + 1, rc, levels, free_c, Ainv, D_vec, mu_vec,
+                        omega)
         else:
             rc = jnp.where(free_c[:, None], rc, 0.0)
             xc_b = jnp.matmul(Ainv, jnp.moveaxis(rc, 1, 0)[..., None],
                               preferred_element_type=jnp.float32)
             xc = jnp.moveaxis(xc_b[..., 0], 0, 1)
-        x = x + _prolong(lev.transfer, xc)
+        x = x + prolong(la, xc)
         # mirrored post-smooth keeps M symmetric (CG-safe)
-        x = x + omega * lev.dinv * (r - A_l(x))
+        x = x + omega * la.dinv * (r - A_masked(l, la, x, D_vec, mu_vec))
         return x
 
-    args = (ml.Ainv,)
-
     def apply(m_args, R):
-        (Ainv,) = m_args
-        Rw = R.astype(dt)
-        out = vcycle(0, Rw, Ainv)
+        levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
+        Rw = R.astype(D_vec.dtype)
+        out = vcycle(0, Rw, levels, free_c, Ainv, D_vec, mu_vec, omega)
         return out.astype(R.dtype)
 
-    return (apply, args)
+    _ML_PROG_CACHE[struct_key] = apply
+    return apply
+
+
+def ml_preconditioner_args(ml: MultilevelData, f32=True):
+    """The runtime argument pytree for the cached V-cycle program."""
+    from ..parallel.sweep import _BlockArgs
+    dt = jnp.float32 if f32 else jnp.float64
+    levels = []
+    for i, lev in enumerate(ml.levels):
+        s = lev.sys
+        Rb = ml.R_batches[i]
+        levels.append(_LevelArgs(
+            K=_BlockArgs.of(s.K, f32),
+            Adv=None if s.Adv is None else _BlockArgs.of(s.Adv, f32),
+            R=None if s.R is None else _BlockArgs.of(s.R, f32),
+            R_batch=None if Rb is None else jnp.asarray(Rb).astype(dt),
+            free=lev.free,
+            dinv=lev.dinv.astype(dt),
+            t_cols=lev.transfer.cols,
+            t_w=lev.transfer.weights.astype(dt),
+            t_perm=lev.transfer.perm,
+            t_ids=lev.transfer.ids_sorted,
+        ))
+    return (tuple(levels), ml.free_c, ml.Ainv,
+            ml.D_vec.astype(dt), ml.mu_vec.astype(dt),
+            jnp.asarray(ml.omega, dtype=dt))
+
+
+def make_ml_preconditioner(ml: MultilevelData, f32=True):
+    """M^{-1}: (n, B) -> (n, B) as one V(1,1) multigrid cycle.
+
+    Returned as an (fn, args) pair (solvers/batched.py convention); the
+    fn is cached by structure so Krylov chunks compile once per shape
+    bucket and are reused across mu batches, meshes, and studies.
+    """
+    apply = _ml_program(_ml_struct_key(ml, f32))
+    return (apply, ml_preconditioner_args(ml, f32=f32))

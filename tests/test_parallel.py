@@ -66,3 +66,36 @@ def test_pallas_element_apply_matches_einsum(mesh, monkeypatch):
     monkeypatch.setenv("FEU_PALLAS", "1")
     y_pl = sys_t.K.apply_batched(X, coef=coef)
     assert np.abs(np.asarray(y_ein) - np.asarray(y_pl)).max() < 1e-10
+
+
+def test_production_sharded_solve_matches_vmapped():
+    """Chunked MG-preconditioned CG under shard_map == solve_sweep."""
+    import numpy as np
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.parallel.sharded_solve import (
+        build_sharded_system, sharded_solve_sweep)
+    from fenics_eff_uptake_tpu.parallel.sharding import make_device_mesh
+    from fenics_eff_uptake_tpu.parallel.sweep import (
+        build_transport_system, solve_sweep)
+    from fenics_eff_uptake_tpu.solvers.multilevel import build_multilevel
+
+    kw = dict(width=5.0, height=1.0, sulcus_depth=0.25, sulcus_width=0.25,
+              refinement_factor=1, domain_type="sulcus")
+    mesh = generate_mesh(mesh_size=0.15, **kw)
+    mids = [generate_mesh(mesh_size=0.3, **kw),
+            generate_mesh(mesh_size=0.6, **kw)]
+    sys_t = build_transport_system(mesh, element="P2", pad_shapes=False)
+    mus = np.array([0.1, 0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0])
+    D = np.ones_like(mus)
+    ml = build_multilevel(sys_t, mids, D, mu_values=mus)
+
+    dev_mesh = make_device_mesh(8, tp=2)   # 4-way sweep x 2-way cells
+    ss = build_sharded_system(sys_t, dev_mesh, multilevel=ml)
+    X_sh, info = sharded_solve_sweep(ss, D, mus, rtol=1e-11,
+                                     chunk_iters=20, maxiter=2000)
+    assert (info["rel_resnorm"] < 1e-10).all()
+
+    X_ref, _ = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-12,
+                           precision="f64", multilevel=ml,
+                           chunk_iters=20, maxiter=2000)
+    assert np.abs(np.asarray(X_sh) - np.asarray(X_ref)).max() < 1e-9
