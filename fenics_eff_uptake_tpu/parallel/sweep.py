@@ -181,10 +181,17 @@ def _pad_block(b: _Block, n_entities, ndofs_padded, dummy_dof) -> _Block:
 def build_transport_system(mesh: MeshData, element="P2",
                            u_values=None, u_space=None,
                            robin_degree=None,
-                           pad_shapes=None) -> TransportSystem:
+                           pad_shapes=None,
+                           dirichlet=None,
+                           with_robin=True) -> TransportSystem:
     """Assemble the sweep system.  pad_shapes (default: on for TPU)
     buckets the cell/facet/dof counts so compiled kernels are shared
-    across meshes of similar size."""
+    across meshes of similar size.
+
+    dirichlet: list of (marker_id, value) pairs; defaults to the
+    transport BCs c=1 left / c=0 right (ref solvers.py:127-129).
+    with_robin=False skips the Robin facet block (e.g. the Stokes
+    velocity Laplacian, whose walls are Dirichlet)."""
     if pad_shapes is None:
         pad_shapes = jax.default_backend() == "tpu"
     space = FunctionSpace(mesh, element)
@@ -194,11 +201,13 @@ def build_transport_system(mesh: MeshData, element="P2",
         Adv = _from_element_block(advection_block(space, u_values, u_space))
     bottom = mesh.bc_marker == MARKERS["bottom"]
     R = None
-    if bottom.any():
+    if with_robin and bottom.any():
         kw = {} if robin_degree is None else {"degree": robin_degree}
         R = _from_element_block(robin_facet_block(space, bottom, mu=1.0,
                                                   **kw))
-    bc = make_bc(space, [(MARKERS["left"], 1.0), (MARKERS["right"], 0.0)])
+    if dirichlet is None:
+        dirichlet = [(MARKERS["left"], 1.0), (MARKERS["right"], 0.0)]
+    bc = make_bc(space, dirichlet)
     free = bc.free
     bc_values = bc.values
     ndofs = space.ndofs

@@ -80,6 +80,32 @@ def coarse_level_meshes(mesh_kwargs, mesh_size, factors=(3.0, 9.0),
     return out
 
 
+_LEVEL_MESH_CACHE = {}
+
+
+def level_meshes_for(mesh, factors=(3.0, 9.0), cap=0.45):
+    """Coarser-level meshes of the same geometry as ``mesh`` (cached).
+
+    Reads the generation parameters off mesh.geom; level h is capped so
+    the coarsest mesh stays valid relative to the channel height.
+    """
+    from ..meshing.generator import generate_mesh
+    g = mesh.geom
+    out = []
+    for f in factors:
+        h_l = min(g.mesh_size * float(f), cap * g.height)
+        key = (mesh.domain_type, g.width, g.height, g.sulcus_depth,
+               g.sulcus_width, h_l)
+        if key not in _LEVEL_MESH_CACHE:
+            _LEVEL_MESH_CACHE[key] = generate_mesh(
+                width=g.width, height=g.height,
+                sulcus_depth=g.sulcus_depth, sulcus_width=g.sulcus_width,
+                mesh_size=h_l, refinement_factor=1,
+                domain_type=mesh.domain_type)
+        out.append(_LEVEL_MESH_CACHE[key])
+    return out
+
+
 def _interp(fine_coords, coarse_mesh, free_fine):
     """Barycentric transfer data (host). Same scheme as twolevel.py."""
     from ..analysis.profiles import PointLocator
@@ -122,7 +148,8 @@ def _level_diag(sys_l, D_vec, mu_vec, R_batch):
 
 def build_multilevel(sys, level_meshes, D_values, mu_values=None,
                      robin_matrices_levels=None, robin_matrices_fine=None,
-                     u_levels=None, omega=0.65):
+                     u_levels=None, omega=0.65,
+                     dirichlet=None, with_robin=True):
     """Build the MG hierarchy for a TransportSystem sweep.
 
     sys: fine TransportSystem; level_meshes: MeshData list fine->coarse
@@ -145,14 +172,18 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
     R_batches = ([None] * n_levels if robin_matrices_levels is None
                  else list(robin_matrices_levels))
 
-    # per-level systems (P1, never padded: these are small)
+    # per-level systems (P1, never padded: these are small); the BC/Robin
+    # structure mirrors the fine system's (transport default, or e.g. the
+    # Stokes velocity Laplacian's wall-Dirichlet set)
     lsys = []
     for i, m in enumerate(level_meshes):
         kw = {}
         if u_levels is not None and u_levels[i] is not None:
             kw = dict(u_values=u_levels[i][0], u_space=u_levels[i][1])
         lsys.append(build_transport_system(m, element="P1",
-                                           pad_shapes=False, **kw))
+                                           pad_shapes=False,
+                                           dirichlet=dirichlet,
+                                           with_robin=with_robin, **kw))
 
     # transfers: fine(sys) -> mesh0, mesh0 -> mesh1, ...
     transfers = []

@@ -83,3 +83,20 @@ def test_run_simulation_advdiff_rect(tmp_path):
     total = sum(pf[k]["total"] for k in ("left", "right", "top", "bottom"))
     scale = max(abs(pf[k]["total"]) for k in ("left", "right", "bottom"))
     assert abs(total) < 0.05 * scale
+
+
+def test_stokes_mg_matches_schur():
+    """MINRES+MG Stokes == Uzawa/Schur Stokes on a sulcus mesh."""
+    import numpy as np
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.models.stokes_flow import (
+        stokes_solve_mg, stokes_solve_schur)
+    mesh = generate_mesh(width=5.0, height=1.0, sulcus_depth=0.3,
+                         sulcus_width=0.3, mesh_size=0.15,
+                         refinement_factor=1, domain_type="sulcus")
+    u1, p1 = stokes_solve_mg(mesh, H=1.0, rtol=1e-11)
+    u0, p0 = stokes_solve_schur(mesh, H=1.0)
+    assert np.abs(np.asarray(u1.values) - np.asarray(u0.values)).max() \
+        < 1e-8
+    assert np.abs(np.asarray(p1.values) - np.asarray(p0.values)).max() \
+        < 1e-6
