@@ -22,7 +22,11 @@ __all__ = ["advdiff_solve"]
 
 
 def advdiff_solve(mesh: MeshData, u: Function, D, mu, element="P2",
-                  rtol=1e-13, maxiter=50000, coarse_mesh=None) -> Function:
-    """Solve steady advection-diffusion; ``u`` is the velocity Function."""
+                  rtol=1e-13, maxiter=50000, coarse_mesh=None,
+                  solver="auto") -> Function:
+    """Solve steady advection-diffusion; ``u`` is the velocity Function.
+
+    solver: None (BiCGStab), "gmres", or "auto" (GMRES when Pe > 25 --
+    restarted GMRES is the robust high-Pe choice, BASELINE config #5)."""
     return _transport_solve(mesh, D, mu, element, rtol, maxiter, u=u,
-                            coarse_mesh=coarse_mesh)
+                            coarse_mesh=coarse_mesh, solver=solver)

@@ -74,14 +74,25 @@ def _clamp_tiny_negative(values):
 
 def _transport_solve(mesh: MeshData, D, mu, element, rtol, maxiter,
                      u: Optional[Function] = None,
-                     coarse_mesh=None) -> Function:
-    """Shared single-run solve via the chunked batched engine (B=1)."""
+                     coarse_mesh=None, solver=None) -> Function:
+    """Shared single-run solve via the chunked batched engine (B=1).
+
+    solver="gmres" routes through restarted GMRES (solvers/gmres.py) --
+    the robust choice for strongly nonsymmetric high-Pe systems where
+    BiCGStab's short recurrence can stagnate (BASELINE config #5).
+    "auto" (advdiff default) picks GMRES when Pe = 1/D > 25.
+    """
     from ..parallel.sweep import (build_transport_system,
                                   robin_matrices_for_mu, solve_sweep)
     u_values = None if u is None else u.values
     u_space = None if u is None else u.space
     sys_t = build_transport_system(mesh, element=element,
                                    u_values=u_values, u_space=u_space)
+    if solver == "auto":
+        solver = "gmres" if (u is not None and float(D) > 0
+                             and 1.0 / float(D) > 25.0) else None
+    if solver == "gmres":
+        return _gmres_transport_solve(sys_t, D, mu, rtol, maxiter)
     if np.isscalar(mu):
         X, info = solve_sweep(sys_t, [float(D)], mu_values=[float(mu)],
                               rtol=rtol, maxiter=maxiter,
@@ -100,6 +111,40 @@ def _transport_solve(mesh: MeshData, D, mu, element, rtol, maxiter,
         "resnorm": float(info["resnorm"][0]),
         "converged": bool(np.isfinite(info["resnorm"][0])),
     }
+    return fn
+
+
+def _gmres_transport_solve(sys_t, D, mu, rtol, maxiter) -> Function:
+    """Single-system restarted-GMRES path (high-Pe robustness)."""
+    import jax
+    from ..parallel.sweep import (_operator_program, operator_args,
+                                  robin_matrices_for_mu, sys_struct_key)
+    from ..solvers.gmres import gmres
+
+    if np.isscalar(mu):
+        R_batch = None
+        mu_vec = jnp.asarray([float(mu)])
+    else:
+        R_batch = jnp.asarray(
+            np.asarray(robin_matrices_for_mu(sys_t, mu))[None])
+        mu_vec = jnp.zeros(1)
+    D_vec = jnp.asarray([float(D)])
+    A_fn, rhs_fn, _, diag_fn = _operator_program(sys_struct_key(sys_t))
+    a = operator_args(sys_t, D_vec, mu_vec, R_batch, f32=False)
+    G = sys_t.bc_values[:, None]
+    rhs = rhs_fn(a, G)[:, 0]
+    dinv = diag_fn(a)[:, 0]
+    res = gmres(lambda x: A_fn(a, x[:, None])[:, 0], rhs,
+                M=lambda r: dinv * r, rtol=rtol, restart=60,
+                maxiter=maxiter)
+    vals = res.x[:sys_t.space.ndofs]
+    vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
+    vals = _clamp_tiny_negative(vals)
+    fn = Function(sys_t.space, vals)
+    fn.solver_info = {"iters": int(res.iters),
+                      "resnorm": float(res.resnorm),
+                      "converged": bool(res.converged),
+                      "method": "gmres"}
     return fn
 
 

@@ -63,14 +63,15 @@ def _saddle_program(key):
     A_fn, _, _, _ = _operator_program(vkey)
 
     def S_fn(args, x):
-        a, (B_e, rdofs, cdofs, rperm, rids, cperm, cids) = args
+        a, (B_e, rdofs, cdofs, rperm, rids, cperm, cids), free_p = args
         U, p = x
         free = a[3]
         Um = jnp.where(free[:, None], U, 0.0)
+        pm = jnp.where(free_p, p, 0.0)
         # velocity block: A U (identity on constrained rows) + B^T p
         AU = A_fn(a, U)
         u_flat = Um[:ns_true].reshape(-1)
-        pe = p[:np_true][rdofs]
+        pe = pm[:np_true][rdofs]
         ye_t = jnp.einsum("nij,ni->nj", B_e, pe,
                           precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=p.dtype)
@@ -82,7 +83,7 @@ def _saddle_program(key):
             Btp = jnp.concatenate(
                 [Btp, jnp.zeros((ns_pad - ns_true, 2), Btp.dtype)])
         opU = AU + jnp.where(free[:, None], Btp, 0.0)
-        # pressure block: B U (+ identity on padding rows)
+        # pressure block: B U, identity on pinned + padding rows
         xe = u_flat[cdofs]
         ye = jnp.einsum("nij,nj->ni", B_e, xe,
                         precision=jax.lax.Precision.HIGHEST,
@@ -92,6 +93,7 @@ def _saddle_program(key):
             num_segments=np_true, indices_are_sorted=True)
         if np_pad > np_true:
             Bu = jnp.concatenate([Bu, p[np_true:]])
+        Bu = jnp.where(free_p, Bu, p)
         return (opU, Bu)
 
     _SADDLE_CACHE[key] = S_fn
@@ -100,7 +102,8 @@ def _saddle_program(key):
 
 def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
                     chunk_iters=40, precision=None,
-                    level_factors=(3.0, 9.0)):
+                    level_factors=(3.0, 9.0),
+                    pin_outlet_pressure=False):
     """Stokes via block-preconditioned MINRES (the production path).
 
     The saddle system is solved whole with MINRES + diag(MG(A), lumped
@@ -168,8 +171,19 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     Bargs32 = (B.B_e.astype(jnp.float32),) + Bargs64[1:]
     a64 = operator_args(sysV, D2j, mu2j, None, f32=False)
     a32 = operator_args(sysV, D2j, mu2j, None, f32=True)
-    s64 = (a64, Bargs64)
-    s32 = (a32, Bargs32)
+    # optional explicit pressure pin at the outlet-bottom corner (the
+    # reference's OutletPoint, solvers.py:272-283); default OFF -- the
+    # do-nothing outflow already fixes the level, and
+    # test_stokes_pressure_pin_inconsequential quantifies the difference
+    free_p_np = np.ones(np_pad, dtype=bool)
+    if pin_outlet_pressure:
+        pc = Q.dof_coords
+        corner = np.array([pc[:, 0].max(), 0.0])
+        pin = int(np.argmin(((pc - corner) ** 2).sum(1)))
+        free_p_np[pin] = False
+    free_p = jnp.asarray(free_p_np)
+    s64 = (a64, Bargs64, free_p)
+    s32 = (a32, Bargs32, free_p)
 
     Mv64 = make_ml_preconditioner(ml, f32=False)
     Mv32 = make_ml_preconditioner(ml, f32=True)
@@ -201,6 +215,7 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
         num_segments=np_true, indices_are_sorted=True)
     if np_pad > np_true:
         rp = jnp.concatenate([rp, jnp.zeros(np_pad - np_true)])
+    rp = jnp.where(free_p, rp, 0.0)   # pinned dof: p = 0
     b = (rU, rp)
 
     if precision == "f64":

@@ -100,3 +100,48 @@ def test_stokes_mg_matches_schur():
         < 1e-8
     assert np.abs(np.asarray(p1.values) - np.asarray(p0.values)).max() \
         < 1e-6
+
+
+def test_stokes_pressure_pin_inconsequential():
+    """VERDICT round-1 item 8: the reference pins p at one outlet point
+    (ref solvers.py:272-283) with legacy 'pointwise' semantics claimed to
+    be a no-op.  Quantify: with the do-nothing outflow the unpinned
+    pressure at the outlet corner is already ~0 (weak traction-free), so
+    adding the pin perturbs p by only that discretization-level epsilon
+    and u by far less -- parity is insensitive to whether the reference's
+    pin matched a dof or not."""
+    import numpy as np
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.models.stokes_flow import stokes_solve_mg
+    mesh = generate_mesh(width=5.0, height=1.0, sulcus_depth=0.3,
+                         sulcus_width=0.3, mesh_size=0.15,
+                         refinement_factor=1, domain_type="sulcus")
+    u1, p1 = stokes_solve_mg(mesh, H=1.0, rtol=1e-11)
+    u2, p2 = stokes_solve_mg(mesh, H=1.0, rtol=1e-11,
+                             pin_outlet_pressure=True)
+    p_scale = np.abs(np.asarray(p1.values)).max()
+    dp = np.abs(np.asarray(p1.values) - np.asarray(p2.values)).max()
+    du = np.abs(np.asarray(u1.values) - np.asarray(u2.values)).max()
+    assert dp / p_scale < 1e-5, (dp, p_scale)
+    assert du < 1e-5, du
+    # the unpinned outlet-corner pressure is itself ~0: the level the pin
+    # would enforce is already selected by the weak form
+    pc = p1.space.dof_coords
+    corner = int(np.argmin((pc[:, 0] - pc[:, 0].max()) ** 2
+                           + pc[:, 1] ** 2))
+    assert abs(float(np.asarray(p1.values)[corner])) / p_scale < 1e-5
+
+
+def test_advdiff_high_pe_gmres_matches_bicgstab():
+    """solver='auto' routes Pe>25 through restarted GMRES; same solution."""
+    import numpy as np
+    from fenics_eff_uptake_tpu.meshing.generator import structured_rectangle
+    from fenics_eff_uptake_tpu.models.advdiff import advdiff_solve
+    from fenics_eff_uptake_tpu.models.stokes_flow import stokes_solve
+    md = structured_rectangle(2.0, 1.0, 16, 8)
+    u, _ = stokes_solve(md, H=1.0)
+    Pe = 40.0
+    c_g = advdiff_solve(md, u, D=1.0 / Pe, mu=1.0, solver="auto")
+    assert c_g.solver_info.get("method") == "gmres"
+    c_b = advdiff_solve(md, u, D=1.0 / Pe, mu=1.0, solver=None)
+    assert np.abs(c_g.as_numpy() - c_b.as_numpy()).max() < 1e-8
