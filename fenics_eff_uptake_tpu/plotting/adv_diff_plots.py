@@ -77,8 +77,8 @@ def create_validation_plots(df, plots_dir):
         return
     pes = sorted(rect["Pe"].unique())
     mfs = sorted(rect["mu_factor"].unique())
-    fig, axes = plt.subplots(len(pes), len(mfs),
-                             figsize=(4 * len(mfs), 2.8 * len(pes)),
+    fig, axes = plt.subplots(len(mfs), len(pes),
+                             figsize=(4 * len(pes), 2.8 * len(mfs)),
                              squeeze=False)
     try:
         # geometry constants from the sulcus rows
@@ -90,23 +90,47 @@ def create_validation_plots(df, plots_dir):
             if "Sulcus_Width_mm" in sulc and sulc[
                 "Sulcus_Width_mm"].notna().any() else 0.5
         xL, xR = L / 2 - w / 2, L / 2 + w / 2
-        xs = np.linspace(0, L, 600)
-        for i, pe in enumerate(pes):
-            for j, mf in enumerate(mfs):
+        xs = np.linspace(0, L, 1500)
+        # zoom to the mouth neighbourhood (ref zoom='mouth', 0.5mm margin)
+        x_lo, x_hi = max(0.0, xL - 0.5), min(L, xR + 0.5)
+        handles = labels = None
+        # reference orientation: rows = mu factor, cols = Pe (ref :372)
+        for i, mf in enumerate(mfs):
+            row_vals = [float(mf)]
+            for j, pe in enumerate(pes):
                 ax = axes[i][j]
                 sel = rect[(rect["Pe"] == pe)
                            & (rect["mu_factor"] == mf)]
                 if not len(sel):
+                    ax.text(0.5, 0.5, "No data", ha="center",
+                            va="center", transform=ax.transAxes)
                     continue
                 mu_open = sel["mu_eff_open"].iloc[0]
                 step = StepUptakeOpen(mf, mu_open, xL, xR, L_c=0.1 * w)
-                ax.plot(xs, step(xs), lw=1.2)
-                ax.axhline(mf, color="gray", lw=0.6, ls="--")
-                ax.set_title(f"Pe={pe:g}, μ*={mf:g}", fontsize=10)
-                if i == len(pes) - 1:
-                    ax.set_xlabel("x")
+                vals = step(xs)
+                ax.plot(xs, vals, lw=1.4, label=r"Step $\mu(x)$")
+                ax.axhline(mf, color="gray", lw=1.2, ls=":",
+                           label=r"Baseline $\mu$")
+                ax.axvspan(xL, xR, alpha=0.15, color="gray")
+                ax.set_xlim(x_lo, x_hi)
+                ax.grid(True, alpha=0.3)
+                if i == 0:
+                    ax.set_title(f"Pe = {pe:g}", fontsize=10)
+                ax.set_xlabel("x")
                 if j == 0:
-                    ax.set_ylabel(r"$\mu(x)$")
+                    ax.set_ylabel(rf"$\mu={mf:g}$" "\n" r"$\mu(x)$")
+                row_vals += [float(np.min(vals)), float(np.max(vals))]
+                handles, labels = ax.get_legend_handles_labels()
+            if len(row_vals) > 1:
+                # row-uniform y-limits (ref :427-441)
+                lo, hi = min(row_vals), max(row_vals)
+                pad = 0.05 * max(hi - lo, 1e-12)
+                for ax in axes[i]:
+                    ax.set_ylim(lo - pad, hi + pad)
+        if handles:
+            fig.legend(handles, labels, loc="lower center",
+                       ncol=len(labels), fontsize=9,
+                       bbox_to_anchor=(0.5, -0.02))
         fig.tight_layout()
         fig.savefig(os.path.join(plots_dir, "mu_step_profiles_grid.png"),
                     dpi=Config.DPI, bbox_inches="tight")

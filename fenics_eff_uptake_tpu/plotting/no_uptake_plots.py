@@ -80,20 +80,35 @@ def plot_profiles_grid_from_samples_csv(csv_path, plots_dir=None):
     fig, axes = plt.subplots(len(lines), 1,
                              figsize=(8, 2.2 * len(lines)), squeeze=False)
     try:
+        has_domain = "Domain" in df.columns
         for i, line in enumerate(lines):
             ax = axes[i][0]
             for pe in pes:
-                sub = df[(df["LineName"] == line) & (df["Peclet"] == pe)]
-                if not len(sub):
-                    continue
-                coord = "x" if sub["LineType"].iloc[0] == "horizontal" \
-                    else "y"
-                ax.plot(sub[coord], sub["c"], lw=1.0,
-                        label=f"Pe={pe:g}")
+                sel = (df["LineName"] == line) & (df["Peclet"] == pe)
+                sub = df[sel & (df["Domain"] == "sulcus")] \
+                    if has_domain else df[sel]
+                if len(sub):
+                    coord = "x" if sub["LineType"].iloc[0] == \
+                        "horizontal" else "y"
+                    (ln,) = ax.plot(sub[coord], sub["c"], lw=1.0,
+                                    label=f"Pe={pe:g}")
+                else:
+                    ln = None
+                if has_domain:
+                    # rectangle-baseline overlay (ref :709-745, but from
+                    # exported samples -- replot never re-simulates)
+                    rsub = df[sel & (df["Domain"] == "rectangular")]
+                    if len(rsub):
+                        coord = "x" if rsub["LineType"].iloc[0] == \
+                            "horizontal" else "y"
+                        ax.plot(rsub[coord], rsub["c"], lw=0.9, ls="--",
+                                color=(ln.get_color() if ln else None),
+                                alpha=0.7,
+                                label=f"rect Pe={pe:g}")
             ax.set_ylabel("c")
             ax.set_title(line, fontsize=9)
             if i == 0:
-                ax.legend(fontsize=8)
+                ax.legend(fontsize=7, ncol=2)
         axes[-1][0].set_xlabel("position")
         fig.tight_layout()
         out = os.path.join(plots_dir, f"profiles_grid_{geom}")

@@ -14,7 +14,8 @@ import matplotlib.pyplot as plt
 import matplotlib.tri as mtri
 import numpy as np
 
-from .style import Config, latexify_label, safe_plot, set_style
+from .style import (Config, add_value_labels, latexify_label, safe_plot,
+                    set_style)
 
 __all__ = ["plot_single_simulation"]
 
@@ -32,21 +33,21 @@ def _vertex_scalar(fn):
     return np.stack([vals[0::2][:V], vals[1::2][:V]], axis=1)
 
 
-def _bar(ax, labels, values, colors=None, title="", ylabel=""):
+def _bar(ax, labels, values, colors=None, title="", ylabel="",
+         label_mode="dual"):
     x = np.arange(len(labels))
-    bars = ax.bar(x, values, color=colors)
+    vals = [v if (v is not None and np.isfinite(v)) else 0.0
+            for v in values]
+    ax.bar(x, vals, color=colors)
     ax.set_xticks(x)
     ax.set_xticklabels([latexify_label(l) for l in labels], rotation=30,
                        ha="right")
     ax.set_title(latexify_label(title))
     ax.set_ylabel(latexify_label(ylabel))
     ax.axhline(0, color="k", lw=0.5)
-    for b, v in zip(bars, values):
-        if v is None or not np.isfinite(v):
-            continue
-        ax.annotate(f"{v:.3g}", (b.get_x() + b.get_width() / 2, v),
-                    ha="center",
-                    va="bottom" if v >= 0 else "top", fontsize=8)
+    # dual-format value labels + y-limit auto-extension
+    # (ref plotting.py:116-170)
+    add_value_labels(ax, mode=label_mode)
 
 
 def plot_single_simulation(results, plots_dir):
@@ -96,6 +97,25 @@ def plot_single_simulation(results, plots_dir):
         _bar(ax, labels, vals, title="Physical flux per boundary",
              ylabel="flux")
 
+    # 4b) external breakdown: diffusive vs advective per boundary
+    # (ref plotting.py:432-470)
+    with safe_plot(os.path.join(plots_dir,
+                                "flux_external_breakdown")) as (fig, ax):
+        labels = ["left", "right", "top", "bottom"]
+        x = np.arange(len(labels))
+        w = 0.38
+        dv = [pf.get(k, {}).get("diffusive", 0.0) or 0.0 for k in labels]
+        av = [pf.get(k, {}).get("advective", 0.0) or 0.0 for k in labels]
+        ax.bar(x - w / 2, dv, w, label="diffusive", color="steelblue")
+        ax.bar(x + w / 2, av, w, label="advective", color="darkorange")
+        ax.set_xticks(x)
+        ax.set_xticklabels(labels)
+        ax.axhline(0, color="k", lw=0.5)
+        ax.set_title("External flux breakdown")
+        ax.set_ylabel("flux")
+        ax.legend()
+        add_value_labels(ax, mode="sci")
+
     # 5) uptake vs physical bottom flux (ref plotting.py:551-600)
     with safe_plot(os.path.join(plots_dir,
                                 "flux_physical_vs_robin")) as (fig, ax):
@@ -124,6 +144,17 @@ def plot_single_simulation(results, plots_dir):
             _bar(ax, ["y0_flux (one-shot)", "y0_combined (5+7+mouth)"],
                  [y0, y0c], colors=["seagreen", "slateblue"],
                  title="Flux consistency check", ylabel="flux")
+        # 7b) segment ratios: share of the combined bottom flux
+        # (ref plotting.py:570-602 segment-ratio panel)
+        with safe_plot(os.path.join(plots_dir,
+                                    "flux_segment_ratios")) as (fig, ax):
+            tot = spf.get("y0_combined", {}).get("total", 0.0)
+            labels = ["bottom_left", "sulcus_opening", "bottom_right"]
+            vals = [(spf.get(k, {}).get("total", 0.0) / tot
+                     if tot not in (0.0, None) else np.nan)
+                    for k in labels]
+            _bar(ax, labels, vals, label_mode="simple",
+                 title="Segment share of y0 flux", ylabel="fraction")
         # 8) uptake segments (ref plotting.py:502-522)
         uf = sulc.get("uptake_flux", {})
         with safe_plot(os.path.join(plots_dir,

@@ -17,7 +17,8 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 __all__ = ["Config", "set_style", "safe_plot", "latexify_label",
-           "format_filename_value", "create_study_dirs"]
+           "format_filename_value", "create_study_dirs",
+           "format_bar_label", "add_value_labels"]
 
 
 class Config:
@@ -72,6 +73,52 @@ def safe_plot(path_base, figsize=None):
         print(f"  [plot] failed for {os.path.basename(path_base)}: {e}")
     finally:
         plt.close(fig)
+
+
+def format_bar_label(value, mode="dual"):
+    """Bar-label text (ref plotting.py:116-134 behaviour): 'dual' shows
+    a compact decimal plus scientific notation underneath."""
+    import numpy as _np
+    if not _np.isfinite(value) or abs(value) < 1e-12:
+        return "0" if mode != "dual" else "0\n(0.0e+00)"
+    if mode == "simple":
+        return f"{value:.3f}"
+    if mode == "sci":
+        return f"{value:.2e}"
+    if abs(value) >= 1e6 or abs(value) < 1e-3:
+        dec = f"{value:.3g}"
+    else:
+        dec = f"{value:.6f}".rstrip("0").rstrip(".")
+    return f"{dec}\n({value:.2e})"
+
+
+def add_value_labels(ax, mode="dual", rotation=0.0, pad_frac=0.04):
+    """Write value labels above each bar and auto-extend the y-limits so
+    none clip (ref plotting.py:136-170 behaviour)."""
+    import numpy as _np
+    tops = []
+    for container in getattr(ax, "containers", []):
+        for bar in container:
+            if not hasattr(bar, "get_height"):
+                continue
+            h = bar.get_height()
+            if h == 0 or not _np.isfinite(h):
+                continue
+            x = bar.get_x() + bar.get_width() / 2.0
+            y0, y1 = ax.get_ylim()
+            y = h + 0.02 * (y1 - y0)
+            ax.text(x, y, format_bar_label(h, mode), ha="center",
+                    va="bottom", rotation=rotation, fontsize=7,
+                    fontweight="bold")
+            tops.append(y)
+    if tops:
+        y0, y1 = ax.get_ylim()
+        span = max(y1 - y0, 1e-300)
+        # two text lines in the 'dual' mode need ~12% of the axis height
+        need = max(tops) + (0.12 if mode == "dual" else 0.06) * span \
+            + pad_frac * span
+        if need > y1:
+            ax.set_ylim(y0, need)
 
 
 _GREEK = {

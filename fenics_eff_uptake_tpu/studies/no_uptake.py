@@ -107,8 +107,14 @@ def _sulcus_row(params, mm, fm, vm):
 
 
 def run_rectangular_baselines(peclet_numbers=None, mesh_size_dim=None,
-                              precision=None, verbose=True):
-    """Rect baselines per Pe (ref :109-140); one Stokes + batched transport."""
+                              precision=None, verbose=True,
+                              collect_profiles=False):
+    """Rect baselines per Pe (ref :109-140); one Stokes + batched transport.
+
+    collect_profiles=True also samples the rectangle's line profiles so
+    the profile-grid figures can overlay them WITHOUT re-simulating at
+    plot time (the reference re-runs rect sims lazily, ref :709-745);
+    returns (rows, profile_rows_per_pe) in that case."""
     peclet_numbers = list(peclet_numbers or PECLET_NUMBERS)
     p0 = _make_params(peclet_numbers[0], mesh_size_dim=mesh_size_dim)
     mesh = get_mesh(p0, "rectangular")
@@ -163,6 +169,14 @@ def run_rectangular_baselines(peclet_numbers=None, mesh_size_dim=None,
         if verbose:
             print(f"  rect baseline Pe={pe}: avg_conc="
                   f"{rows[-1]['Avg Concentration']:.6f}")
+    if collect_profiles:
+        prof_rows = []
+        for i, pe in enumerate(peclet_numbers):
+            c = Function(sys.space, X[i])
+            prof_rows.extend(collect_profile_rows(
+                c, mesh, params_list[i], "rectangle", "rectangle",
+                domain_type="rectangular"))
+        return rows, prof_rows
     return rows
 
 
@@ -340,8 +354,19 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
         except Exception as e:
             print(f"  {gkey} failed: {e}")
 
-    rows.extend(run_rectangular_baselines(peclet_numbers, mesh_size_dim,
-                                          precision, verbose))
+    if profile_runs:
+        rect_rows, rect_prof = run_rectangular_baselines(
+            peclet_numbers, mesh_size_dim, precision, verbose,
+            collect_profiles=True)
+        # merge the rectangle overlay curves into every profile
+        # geometry's sample set (Domain column distinguishes them)
+        for gkey in {r["geometry"] for r in profile_runs}:
+            profile_runs.append({"geometry": gkey, "rows": rect_prof})
+    else:
+        rect_rows = run_rectangular_baselines(peclet_numbers,
+                                              mesh_size_dim, precision,
+                                              verbose)
+    rows.extend(rect_rows)
     import pandas as pd
     df = pd.DataFrame(rows)
     df = add_ratio_metrics(df)

@@ -1,4 +1,9 @@
-"""Micro-profile the ML V-cycle components on the real TPU."""
+"""Micro-profile the ML-preconditioned CG chunk on the real TPU.
+
+(The standalone jitted V-cycle apply faulted the TPU worker once; all
+timings here go through the chunk kernels, which are the production
+path anyway.)
+"""
 import os
 import time
 
@@ -16,8 +21,9 @@ def main():
     from fenics_eff_uptake_tpu.parallel.sweep import (
         build_transport_system, _operator_program, operator_args,
         sys_struct_key)
+    from fenics_eff_uptake_tpu.solvers.batched import _cg_chunk
     from fenics_eff_uptake_tpu.solvers.multilevel import (
-        build_multilevel, make_ml_preconditioner)
+        build_multilevel, make_ml_preconditioner, ml_preconditioner_args)
     from fenics_eff_uptake_tpu.studies.phase_a import MU_SWEEP_REGIMES
 
     kw = dict(width=10.0, height=1.0, sulcus_depth=0.25, sulcus_width=0.25,
@@ -33,102 +39,60 @@ def main():
 
     B = 20
     X = jnp.ones((sys_t.ndofs, B), jnp.float32)
-
-    def timeit(name, fn, *args, n=20):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(n):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        print(f"{name}: {(time.time()-t0)/n*1000:.2f} ms", flush=True)
-        return out
-
     A_fn, rhs_fn, residual_fn, diag_fn = _operator_program(
         sys_struct_key(sys_t))
     a32 = operator_args(sys_t, jnp.asarray(D), jnp.asarray(mus), None,
                         f32=True)
+
     A_jit = jax.jit(A_fn)
-    timeit("A apply (f32, B=20)", A_jit, a32, X)
+    Y = A_jit(a32, X)
+    jax.block_until_ready(Y)
+    t0 = time.time()
+    for _ in range(20):
+        Y = A_jit(a32, Y)
+    jax.block_until_ready(Y)
+    print(f"A apply: {(time.time()-t0)/20*1000:.2f} ms", flush=True)
 
     M_fn, m_args = make_ml_preconditioner(ml, f32=True)
-    M_jit = jax.jit(M_fn)
-    timeit("ML V-cycle apply (f32)", M_jit, m_args, X)
 
-    # level-by-level: fine smoother pieces
-    levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
-    la = levels[0]
-
-    @jax.jit
-    def fine_smooth(la, X):
-        return 0.65 * la.dinv * X
-
-    timeit("fine Jacobi smooth", fine_smooth, la, X)
-
-    @jax.jit
-    def restrict0(la, R):
-        contrib = la.t_w[:, :, None] * R[:, None, :]
-        n, _, Bc = contrib.shape
-        flat = contrib.reshape(n * 3, Bc)[la.t_perm]
-        return jax.ops.segment_sum(flat, la.t_ids,
-                                   num_segments=levels[1].free.shape[0],
-                                   indices_are_sorted=True)
-
-    rc = timeit("restrict fine->mid", restrict0, la, X)
-
-    @jax.jit
-    def prolong0(la, Xc):
-        return jnp.einsum("nk,nkb->nb", la.t_w, Xc[la.t_cols],
-                          preferred_element_type=Xc.dtype)
-
-    timeit("prolong mid->fine", prolong0, la, rc)
-
-    la1 = levels[1]
-
-    @jax.jit
-    def mid_apply(la1, Xc, D_vec, mu_vec):
-        from fenics_eff_uptake_tpu.parallel.sweep import _args_block_apply
-        nd1 = la1.free.shape[0]
-        Y = _args_block_apply(la1.K, nd1, Xc, coef=D_vec.astype(Xc.dtype))
-        Y = Y + _args_block_apply(la1.R, nd1, Xc,
-                                  coef=mu_vec.astype(Xc.dtype))
-        return Y
-
-    timeit("mid operator apply", mid_apply, la1, rc,
-           D_vec, mu_vec)
-
-    @jax.jit
-    def coarsest(Ainv, rc):
-        xc_b = jnp.matmul(Ainv, jnp.moveaxis(rc, 1, 0)[..., None],
-                          preferred_element_type=jnp.float32)
-        return jnp.moveaxis(xc_b[..., 0], 0, 1)
-
-    rcc = jnp.ones((ml.Ainv.shape[1], B), jnp.float32)
-    timeit("coarsest dense solve", coarsest, Ainv, rcc)
-
-    # one full CG iteration via the chunk (n_iters=1)
-    from fenics_eff_uptake_tpu.solvers.batched import _cg_chunk
-    chunk1 = _cg_chunk(A_fn, M_fn, 1)
-    Z = M_jit(m_args, X)
-    rz = jnp.sum(X * Z, axis=0)
+    # Jacobi-only chunk as the per-iteration floor
+    dinv32 = diag_fn(operator_args(sys_t, jnp.asarray(D),
+                                   jnp.asarray(mus), None,
+                                   f32=False)).astype(jnp.float32)
+    Mj = ((lambda ma, R: ma[0] * R), (dinv32,))
     tol = jnp.zeros(B, jnp.float32)
-    out = chunk1(a32, m_args, X, X, Z, Z, rz, tol)
-    jax.block_until_ready(out[0])
-    t0 = time.time()
-    for _ in range(10):
-        out = chunk1(a32, m_args, *out[:5], tol)
-    jax.block_until_ready(out[0])
-    print(f"CG+ML chunk (1 iter/call): {(time.time()-t0)/10*1000:.2f} ms",
-          flush=True)
 
-    chunk50 = _cg_chunk(A_fn, M_fn, 50)
-    out = chunk50(a32, m_args, X, X, Z, Z, rz, tol)
-    jax.block_until_ready(out[0])
-    t0 = time.time()
-    out = chunk50(a32, m_args, *out[:5], tol)
-    jax.block_until_ready(out[0])
-    print(f"CG+ML chunk (50 iters): {(time.time()-t0)/50*1000:.2f} "
-          f"ms/iter", flush=True)
+    def time_chunk(name, Mpair, n_iters, reps):
+        Mfn, margs = Mpair
+        chunk = _cg_chunk(A_fn, Mfn, n_iters)
+        Z = X
+        rz = jnp.sum(X * X, axis=0)
+        st = (X, X, Z, Z, rz)
+        out = chunk(a32, margs, *st, tol)
+        jax.block_until_ready(out[0])
+        t0 = time.time()
+        for _ in range(reps):
+            out = chunk(a32, margs, *out[:5], tol)
+        jax.block_until_ready(out[0])
+        ms = (time.time() - t0) / reps / n_iters * 1000
+        print(f"{name} ({n_iters} iters/chunk): {ms:.2f} ms/iter",
+              flush=True)
+
+    time_chunk("CG+Jacobi chunk", Mj, 50, 3)
+    time_chunk("CG+ML chunk", (M_fn, m_args), 10, 3)
+    time_chunk("CG+ML chunk", (M_fn, m_args), 50, 2)
+
+    # omega sweep (runtime arg -> no recompile): true convergence iters
+    from fenics_eff_uptake_tpu.parallel.sweep import solve_sweep
+    for om in (0.5, 0.65, 0.8, 0.9):
+        ml2 = ml._replace(omega=float(om))
+        t0 = time.time()
+        Xs, info = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-11,
+                               multilevel=ml2, chunk_iters=25)
+        jax.block_until_ready(Xs)
+        print(f"omega={om}: {time.time()-t0:.2f}s "
+              f"iters={info['iters'].tolist()} "
+              f"maxrel={info['rel_resnorm'].max():.2e}", flush=True)
 
 
 if __name__ == "__main__":
