@@ -93,15 +93,25 @@ def _transport_solve(mesh: MeshData, D, mu, element, rtol, maxiter,
                              and 1.0 / float(D) > 25.0) else None
     if solver == "gmres":
         return _gmres_transport_solve(sys_t, D, mu, rtol, maxiter)
+    from ..solvers.multilevel import build_multilevel_for
     if np.isscalar(mu):
+        ml = build_multilevel_for(sys_t, mesh, [float(D)],
+                                  mu_values=[float(mu)], u_fine=u)
         X, info = solve_sweep(sys_t, [float(D)], mu_values=[float(mu)],
                               rtol=rtol, maxiter=maxiter,
-                              coarse_mesh=coarse_mesh)
+                              multilevel=ml,
+                              coarse_mesh=None if ml is not None
+                              else coarse_mesh)
     else:
         R = np.asarray(robin_matrices_for_mu(sys_t, mu))[None]
+        ml = build_multilevel_for(sys_t, mesh, [float(D)],
+                                  mu_callables=[mu],
+                                  robin_matrices_fine=R, u_fine=u)
         X, info = solve_sweep(sys_t, [float(D)], robin_matrices=R,
                               rtol=rtol, maxiter=maxiter,
-                              coarse_mesh=coarse_mesh)
+                              multilevel=ml,
+                              coarse_mesh=None if ml is not None
+                              else coarse_mesh)
     vals = X[0]
     vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
     vals = _clamp_tiny_negative(vals)

@@ -544,6 +544,142 @@ def _operator_program(struct_key):
     return prog
 
 
+# whole-refinement-pass programs: ONE device dispatch per mixed-precision
+# pass (f64 residual -> f32 preconditioned CG with per-column early exit
+# -> f64 update -> fresh f64 residual norms).  Through the axon tunnel
+# every eager dispatch costs ~0.1-1 s of latency; the old path issued ~8
+# of them per pass, which dominated the measured solve wall-clock.
+_REFINE_CACHE: Dict[tuple, "object"] = {}
+
+
+def _jacobi_M(m_args, R):
+    return m_args[0] * R
+
+
+def _refine_program(struct_key, M_fn, n_iters):
+    key = (struct_key, id(M_fn), n_iters)
+    hit = _REFINE_CACHE.get(key)
+    if hit is not None and hit[0] is M_fn:
+        return hit[1]
+    A_fn, _, _, _ = _operator_program(struct_key)
+
+    @jax.jit
+    def refine(a64, a32, m_args, RHS, X, tol, inner_rtol):
+        R64 = RHS - A_fn(a64, X)
+        rn0 = jnp.sqrt(jnp.sum(R64 * R64, axis=0))
+        R = R64.astype(jnp.float32)
+        tol_in = jnp.maximum(inner_rtol * rn0,
+                             0.1 * tol).astype(jnp.float32)
+        Z = M_fn(m_args, R)
+        P = Z
+        rz = jnp.sum(R * Z, axis=0)
+        Dx = jnp.zeros_like(R)
+        it0 = jnp.zeros(R.shape[1], dtype=jnp.int32)
+
+        def cond(st):
+            i, Dx, R, Z, P, rz, cit = st
+            rn = jnp.sqrt(jnp.sum(R * R, axis=0))
+            return (i < n_iters) & jnp.any(rn > tol_in)
+
+        def body(st):
+            i, Dx, R, Z, P, rz, cit = st
+            active = jnp.sqrt(jnp.sum(R * R, axis=0)) > tol_in
+            AP = A_fn(a32, P)
+            pAp = jnp.sum(P * AP, axis=0)
+            alpha = jnp.where(active & (pAp != 0),
+                              rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+            Dx = Dx + alpha[None, :] * P
+            R = R - alpha[None, :] * AP
+            Z = M_fn(m_args, R)
+            rz_new = jnp.sum(R * Z, axis=0)
+            beta = jnp.where(active & (rz != 0),
+                             rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+            P = jnp.where(active[None, :], Z + beta[None, :] * P, P)
+            return (i + 1, Dx, R, Z, P, rz_new,
+                    cit + active.astype(jnp.int32))
+
+        _, Dx, R, Z, P, rz, cit = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), Dx, R, Z, P, rz,
+                         it0))
+        X_new = X + Dx.astype(jnp.float64)
+        R64n = RHS - A_fn(a64, X_new)
+        rn = jnp.sqrt(jnp.sum(R64n * R64n, axis=0))
+        return X_new, rn, cit
+
+    _REFINE_CACHE[key] = (M_fn, refine)
+    return refine
+
+
+def _refine_program_bicgstab(struct_key, M_fn, n_iters):
+    """Nonsymmetric twin of _refine_program (adv-diff sweeps)."""
+    key = ("bicgstab", struct_key, id(M_fn), n_iters)
+    hit = _REFINE_CACHE.get(key)
+    if hit is not None and hit[0] is M_fn:
+        return hit[1]
+    A_fn, _, _, _ = _operator_program(struct_key)
+
+    @jax.jit
+    def refine(a64, a32, m_args, RHS, X, tol, inner_rtol):
+        R64 = RHS - A_fn(a64, X)
+        rn0 = jnp.sqrt(jnp.sum(R64 * R64, axis=0))
+        R = R64.astype(jnp.float32)
+        tol_in = jnp.maximum(inner_rtol * rn0,
+                             0.1 * tol).astype(jnp.float32)
+        Rhat = R
+        B = R.shape[1]
+        ones = jnp.ones(B, jnp.float32)
+        Dx = jnp.zeros_like(R)
+        P = jnp.zeros_like(R)
+        V = jnp.zeros_like(R)
+        it0 = jnp.zeros(B, dtype=jnp.int32)
+
+        def cond(st):
+            i, Dx, R, P, V, rho, alpha, omega, cit = st
+            rn = jnp.sqrt(jnp.sum(R * R, axis=0))
+            return (i < n_iters) & jnp.any(rn > tol_in)
+
+        def body(st):
+            i, Dx, R, P, V, rho, alpha, omega, cit = st
+            active = jnp.sqrt(jnp.sum(R * R, axis=0)) > tol_in
+            rho_new = jnp.sum(Rhat * R, axis=0)
+            beta = jnp.where(
+                active,
+                (rho_new / jnp.where(rho != 0, rho, 1.0))
+                * (alpha / jnp.where(omega != 0, omega, 1.0)), 0.0)
+            P = jnp.where(active[None, :],
+                          R + beta[None, :] * (P - omega[None, :] * V),
+                          P)
+            Phat = M_fn(m_args, P)
+            V = A_fn(a32, Phat)
+            denom = jnp.sum(Rhat * V, axis=0)
+            alpha = jnp.where(active & (denom != 0),
+                              rho_new / jnp.where(denom != 0, denom,
+                                                  1.0), 0.0)
+            S = R - alpha[None, :] * V
+            Shat = M_fn(m_args, S)
+            T = A_fn(a32, Shat)
+            tt = jnp.sum(T * T, axis=0)
+            omega = jnp.where(active & (tt != 0),
+                              jnp.sum(T * S, axis=0)
+                              / jnp.where(tt != 0, tt, 1.0), 0.0)
+            Dx = Dx + alpha[None, :] * Phat + omega[None, :] * Shat
+            R = jnp.where(active[None, :], S - omega[None, :] * T, R)
+            return (i + 1, Dx, R, P, V, rho_new, alpha, omega,
+                    cit + active.astype(jnp.int32))
+
+        st = (jnp.asarray(0, jnp.int32), Dx, R, P, V, ones, ones, ones,
+              it0)
+        _, Dx, R, P, V, rho, alpha, omega, cit = jax.lax.while_loop(
+            cond, body, st)
+        X_new = X + Dx.astype(jnp.float64)
+        R64n = RHS - A_fn(a64, X_new)
+        rn = jnp.sqrt(jnp.sum(R64n * R64n, axis=0))
+        return X_new, rn, cit
+
+    _REFINE_CACHE[key] = (M_fn, refine)
+    return refine
+
+
 def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                 robin_matrices=None, rtol=1e-12, maxiter=50000,
                 precision=None, chunk_iters=None,
@@ -672,7 +808,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
             return make_ml_preconditioner(multilevel, f32=f32)
         dv = dinv.astype(jnp.float32) if f32 else dinv
         if tl is None:
-            return ((lambda m_args, R: m_args[0] * R), (dv,))
+            return (_jacobi_M, (dv,))
         from ..solvers.twolevel import make_preconditioner
         return make_preconditioner(tl, dinv, f32=f32)
 
@@ -688,28 +824,50 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                      maxiter=maxiter, chunk_iters=chunk_iters)
         X = res.X.astype(jnp.float64)
         iters, resnorm = res.iters, res.resnorm
-    else:  # mixed: f32 inner + f64 refinement (host loop)
+    else:  # mixed: f32 inner + f64 refinement
         M32 = make_M(True)
         bnorm = np.asarray(jnp.linalg.norm(RHS, axis=0))
         tol = rtol * bnorm
         X = X0
         total_iters = np.zeros(B, dtype=np.int64)
         resnorm = bnorm.copy()
-        # residual_fn is jitted and stable across calls (set above)
-        for _ref in range(12):
-            Rres, rn_dev = residual_fn(res_fn_args, RHS, X)
-            resnorm = np.asarray(rn_dev)
-            _tt = _t(f"refine {_ref}: f64 residual "
-                     f"(max {resnorm.max():.2e})", _tt)
-            if (resnorm <= tol).all():
-                break
-            res = krylov(A32, Rres.astype(jnp.float32),
-                         M=M32, rtol=1e-4,
-                         maxiter=maxiter, chunk_iters=chunk_iters)
-            _tt = _t(f"refine {_ref}: f32 inner "
-                     f"({int(res.iters.max())} iters)", _tt)
-            X = X + res.X.astype(jnp.float64)
-            total_iters += res.iters
+        if not use_fused:
+            # ONE device dispatch per refinement pass (f64 residual +
+            # early-exit f32 Krylov + f64 update + new residual norms
+            # all fused -- see _refine_program)
+            M32_fn, m32_args = M32
+            builder = (_refine_program_bicgstab if nonsym
+                       else _refine_program)
+            refine = builder(sys_struct_key(sys), M32_fn,
+                             n_iters=min(300, maxiter))
+            tol_dev = jnp.asarray(tol)
+            for _ref in range(12):
+                X, rn_dev, cit = refine(a64, a32, m32_args, RHS, X,
+                                        tol_dev, 1e-4)
+                resnorm = np.asarray(rn_dev)
+                total_iters += np.asarray(cit, dtype=np.int64)
+                _tt = _t(f"refine {_ref}: pass "
+                         f"({int(np.asarray(cit).max())} iters, max rel "
+                         f"{(resnorm / np.maximum(bnorm, 1e-300)).max():.2e})",
+                         _tt)
+                if (resnorm <= tol).all():
+                    break
+        else:
+            # residual_fn is jitted and stable across calls (set above)
+            for _ref in range(12):
+                Rres, rn_dev = residual_fn(res_fn_args, RHS, X)
+                resnorm = np.asarray(rn_dev)
+                _tt = _t(f"refine {_ref}: f64 residual "
+                         f"(max {resnorm.max():.2e})", _tt)
+                if (resnorm <= tol).all():
+                    break
+                res = krylov(A32, Rres.astype(jnp.float32),
+                             M=M32, rtol=1e-4,
+                             maxiter=maxiter, chunk_iters=chunk_iters)
+                _tt = _t(f"refine {_ref}: f32 inner "
+                         f"({int(res.iters.max())} iters)", _tt)
+                X = X + res.X.astype(jnp.float64)
+                total_iters += res.iters
         iters = total_iters
     # strip shape-bucketing padding dofs (see build_transport_system)
     bnorm_out = np.asarray(jnp.linalg.norm(RHS, axis=0))

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["MultilevelData", "build_multilevel", "make_ml_preconditioner",
-           "coarse_level_meshes"]
+           "coarse_level_meshes", "level_meshes_for",
+           "build_multilevel_for"]
 
 
 class _Transfer(NamedTuple):
@@ -408,6 +409,57 @@ def ml_preconditioner_args(ml: MultilevelData, f32=True):
     return (tuple(levels), ml.free_c, ml.Ainv,
             ml.D_vec.astype(dt), ml.mu_vec.astype(dt),
             jnp.asarray(ml.omega, dtype=dt))
+
+
+def build_multilevel_for(sys, mesh, D_values, mu_values=None,
+                         mu_callables=None, robin_matrices_fine=None,
+                         u_fine=None, h_threshold=0.08, omega=0.65):
+    """Convenience: full MG hierarchy for a study sweep, or None if the
+    mesh is coarse enough that Jacobi alone converges quickly.
+
+    mu_callables: per-sample spatially-varying mu(x) (step-mu sweeps) --
+    the level Robin matrices are assembled from them on each level mesh.
+    u_fine: fine-mesh velocity Function; it is interpolated onto each
+    level mesh so the level operators include advection.
+    """
+    g = mesh.geom
+    if g is None or g.mesh_size >= h_threshold:
+        return None
+    level_meshes = level_meshes_for(mesh)
+    from ..parallel.sweep import build_transport_system
+
+    robin_levels = None
+    if mu_callables is not None:
+        from ..fem.assembly import robin_facet_block
+        from ..fem.space import FunctionSpace
+        from ..meshing.mesh_data import MARKERS
+        robin_levels = []
+        for m in level_meshes:
+            sp = FunctionSpace(m, "P1")
+            bottom = m.bc_marker == MARKERS["bottom"]
+            robin_levels.append(jnp.stack([
+                robin_facet_block(sp, bottom, mu=mc).A_e
+                for mc in mu_callables]))
+
+    u_levels = None
+    if u_fine is not None:
+        from ..analysis.profiles import eval_function
+        from ..fem.space import Function, FunctionSpace
+        u_levels = []
+        for m in level_meshes:
+            Vl = FunctionSpace(m, "P2", vs=2)
+            vals, ok = eval_function(u_fine, Vl.dof_coords)
+            vals = np.where(ok[:, None], vals, 0.0)
+            inter = np.zeros(Vl.ndofs)
+            inter[0::2] = vals[:, 0]
+            inter[1::2] = vals[:, 1]
+            u_levels.append((jnp.asarray(inter), Vl))
+
+    return build_multilevel(sys, level_meshes, D_values,
+                            mu_values=mu_values,
+                            robin_matrices_levels=robin_levels,
+                            robin_matrices_fine=robin_matrices_fine,
+                            u_levels=u_levels, omega=omega)
 
 
 def make_ml_preconditioner(ml: MultilevelData, f32=True):

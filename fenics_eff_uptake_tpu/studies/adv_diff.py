@@ -106,11 +106,13 @@ def run_advdiff_step_validation(
                                    u_space=u_s.space)
     D_batch = [1.0 / Pe for Pe, _ in cells]
     mu_batch = [float(mf) for _, mf in cells]
-    coarse_s = get_coarse_mesh(p0, "sulcus")
+    from ..solvers.multilevel import build_multilevel_for
+    ml_s = build_multilevel_for(sys_s, sulc_mesh, D_batch,
+                                mu_values=mu_batch, u_fine=u_s)
     t1 = time.time()
     Xs, info_s = solve_sweep(sys_s, D_batch, mu_values=mu_batch,
                              rtol=rtol, precision=precision,
-                             coarse_mesh=coarse_s)
+                             multilevel=ml_s)
     if verbose:
         print(f"[sulcus] {len(cells)} transport solves in "
               f"{time.time()-t1:.1f}s (iters={info_s['iters'].tolist()})")
@@ -176,11 +178,13 @@ def run_advdiff_step_validation(
         steps.append(step)
     R_batch = np.stack([np.asarray(robin_matrices_for_mu(sys_r, s))
                         for s in steps])
-    coarse_r = get_coarse_mesh(p0, "rectangular")
+    ml_r = build_multilevel_for(sys_r, rect_mesh, D_batch,
+                                mu_callables=steps,
+                                robin_matrices_fine=R_batch, u_fine=u_r)
     t1 = time.time()
     Xr, info_r = solve_sweep(sys_r, D_batch, robin_matrices=R_batch,
                              rtol=rtol, precision=precision,
-                             coarse_mesh=coarse_r)
+                             multilevel=ml_r)
     if verbose:
         print(f"[rect] {len(cells)} surrogate solves in "
               f"{time.time()-t1:.1f}s (iters={info_r['iters'].tolist()})")

@@ -53,14 +53,15 @@ def no_adv_batch(geom_params: Parameters, mu_factors: List[float],
     """
     t0 = time.time()
     mesh = get_mesh(geom_params, domain_type)
-    coarse = get_coarse_mesh(geom_params, domain_type)
     sys = build_transport_system(mesh, element="P2")
     # nondimensional mu* values for this sweep
     scale = geom_params.H_dim / geom_params.D_dim
     mus = [Parameters.MU_DIM_NO_ADV * f * scale for f in mu_factors]
     D_batch = [geom_params.D] * len(mus)
+    from ..solvers.multilevel import build_multilevel_for
+    ml = build_multilevel_for(sys, mesh, D_batch, mu_values=mus)
     X, info = solve_sweep(sys, D_batch, mu_values=mus, rtol=rtol,
-                          maxiter=maxiter, coarse_mesh=coarse)
+                          maxiter=maxiter, multilevel=ml)
     if verbose:
         print(f"  [batch] {domain_type} "
               f"w={geom_params.sulci_w_dim} h={geom_params.sulci_h_dim}: "

@@ -121,9 +121,11 @@ def run_rectangular_baselines(peclet_numbers=None, mesh_size_dim=None,
     u, p = stokes_solve(mesh, H=p0.H)
     sys = build_transport_system(mesh, u_values=u.values, u_space=u.space)
     D_batch = [1.0 / pe for pe in peclet_numbers]
+    from ..solvers.multilevel import build_multilevel_for
+    ml = build_multilevel_for(sys, mesh, D_batch,
+                              mu_values=[0.0] * len(D_batch), u_fine=u)
     X, info = solve_sweep(sys, D_batch, mu_values=[0.0] * len(D_batch),
-                          precision=precision,
-                          coarse_mesh=get_coarse_mesh(p0, "rectangular"))
+                          precision=precision, multilevel=ml)
     from ..analysis.batched_metrics import (build_sweep_metrics,
                                             metrics_to_dicts)
     import jax.numpy as jnp
@@ -322,10 +324,13 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
             sys = build_transport_system(mesh, u_values=u.values,
                                          u_space=u.space)
             D_batch = [1.0 / pe for pe in peclet_numbers]
+            from ..solvers.multilevel import build_multilevel_for
+            ml = build_multilevel_for(sys, mesh, D_batch,
+                                      mu_values=[0.0] * len(D_batch),
+                                      u_fine=u)
             X, info = solve_sweep(sys, D_batch,
                                   mu_values=[0.0] * len(D_batch),
-                                  precision=precision,
-                                  coarse_mesh=get_coarse_mesh(p0, "sulcus"))
+                                  precision=precision, multilevel=ml)
             # ONE batched metrics dispatch for all Pe columns
             # (analysis/batched_metrics.py; equivalence-tested vs the
             # per-run engine -- see tests/test_analysis.py)

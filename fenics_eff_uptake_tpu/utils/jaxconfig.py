@@ -24,7 +24,12 @@ def setup(x64=True, cache_dir=None):
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERY compile: with the axon remote compiler even sub-1s
+        # compiles cost seconds of round-trip, and the eager assembly
+        # path issues dozens of them -- measured 30-150s per fresh
+        # process before this was set to 0
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
     except Exception:
         pass
     return jax

@@ -38,6 +38,21 @@ def main():
     mus = np.array([f for r in MU_SWEEP_REGIMES.values() for f in r])[:20]
     D = np.ones_like(mus)
 
+    # decompose the ml build
+    from fenics_eff_uptake_tpu.solvers import multilevel as ml_mod
+    t0 = time.time()
+    lsys = [build_transport_system(m, element="P1", pad_shapes=False)
+            for m in mids]
+    jax.block_until_ready(lsys[0].K.A64)
+    print(f"  level assemblies: {time.time()-t0:.2f}s", flush=True)
+    t0 = time.time()
+    tr0 = ml_mod._interp(sys_t.space.dof_coords, mids[0],
+                         np.asarray(sys_t.free)[:len(
+                             sys_t.space.dof_coords)])
+    tr1 = ml_mod._interp(mids[0].vertices, mids[1],
+                         np.asarray(lsys[0].free))
+    print(f"  transfers (host): {time.time()-t0:.2f}s", flush=True)
+
     t0 = time.time()
     ml = build_multilevel(sys_t, mids, D, mu_values=mus)
     jax.block_until_ready(ml.Ainv)
