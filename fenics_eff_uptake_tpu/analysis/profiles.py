@@ -46,7 +46,7 @@ class PointLocator:
     def locate(self, pts) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (cell_idx (N,), ref_coords (N,2)); cell_idx=-1 if outside."""
         pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
-        _, cand = self.tree.query(pts, k=self.k)
+        _, cand = self.tree.query(pts, k=self.k, workers=-1)
         cand = np.atleast_2d(cand)                       # (N,k)
         rel = pts[:, None, :] - self.p0[cand]            # (N,k,2)
         ref = np.einsum("nkab,nkb->nka", self.inv[cand], rel)

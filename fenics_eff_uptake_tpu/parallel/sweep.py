@@ -610,6 +610,86 @@ def _refine_program(struct_key, M_fn, n_iters):
     return refine
 
 
+def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10):
+    """The ENTIRE mixed-precision solve as one device dispatch: an outer
+    f64 defect-correction while_loop, each pass an early-exit f32
+    preconditioned-CG while_loop.  Only the final X and (B,) diagnostics
+    cross the host boundary."""
+    key = ("mixed", struct_key, id(M_fn), n_iters, max_passes)
+    hit = _REFINE_CACHE.get(key)
+    if hit is not None and hit[0] is M_fn:
+        return hit[1]
+    A_fn, _, _, _ = _operator_program(struct_key)
+
+    @jax.jit
+    def solve(a64, a32, m_args, RHS, X0, tol, inner_rtol):
+        B = RHS.shape[1]
+
+        def inner(R64):
+            rn0 = jnp.sqrt(jnp.sum(R64 * R64, axis=0))
+            R = R64.astype(jnp.float32)
+            tol_in = jnp.maximum(inner_rtol * rn0,
+                                 0.1 * tol).astype(jnp.float32)
+            Z = M_fn(m_args, R)
+            P = Z
+            rz = jnp.sum(R * Z, axis=0)
+            Dx = jnp.zeros_like(R)
+            cit0 = jnp.zeros(B, dtype=jnp.int32)
+
+            def cond(st):
+                i, Dx, R, Z, P, rz, cit = st
+                rn = jnp.sqrt(jnp.sum(R * R, axis=0))
+                return (i < n_iters) & jnp.any(rn > tol_in)
+
+            def body(st):
+                i, Dx, R, Z, P, rz, cit = st
+                active = jnp.sqrt(jnp.sum(R * R, axis=0)) > tol_in
+                AP = A_fn(a32, P)
+                pAp = jnp.sum(P * AP, axis=0)
+                alpha = jnp.where(active & (pAp != 0),
+                                  rz / jnp.where(pAp != 0, pAp, 1.0),
+                                  0.0)
+                Dx = Dx + alpha[None, :] * P
+                R = R - alpha[None, :] * AP
+                Z = M_fn(m_args, R)
+                rz_new = jnp.sum(R * Z, axis=0)
+                beta = jnp.where(active & (rz != 0),
+                                 rz_new / jnp.where(rz != 0, rz, 1.0),
+                                 0.0)
+                P = jnp.where(active[None, :], Z + beta[None, :] * P, P)
+                return (i + 1, Dx, R, Z, P, rz_new,
+                        cit + active.astype(jnp.int32))
+
+            _, Dx, R, Z, P, rz, cit = jax.lax.while_loop(
+                cond, body,
+                (jnp.asarray(0, jnp.int32), Dx, R, Z, P, rz, cit0))
+            return Dx, cit
+
+        def cond_outer(st):
+            k, X, rn, tot = st
+            return (k < max_passes) & jnp.any(rn > tol)
+
+        def body_outer(st):
+            k, X, rn, tot = st
+            R64 = RHS - A_fn(a64, X)
+            Dx, cit = inner(R64)
+            X = X + Dx.astype(jnp.float64)
+            R64n = RHS - A_fn(a64, X)
+            rn = jnp.sqrt(jnp.sum(R64n * R64n, axis=0))
+            return (k + 1, X, rn, tot + cit.astype(jnp.int64))
+
+        R0 = RHS - A_fn(a64, X0)
+        rn0 = jnp.sqrt(jnp.sum(R0 * R0, axis=0))
+        k, X, rn, tot = jax.lax.while_loop(
+            cond_outer, body_outer,
+            (jnp.asarray(0, jnp.int32), X0, rn0,
+             jnp.zeros(B, dtype=jnp.int64)))
+        return X, rn, tot, k
+
+    _REFINE_CACHE[key] = (M_fn, solve)
+    return solve
+
+
 def _refine_program_bicgstab(struct_key, M_fn, n_iters):
     """Nonsymmetric twin of _refine_program (adv-diff sweeps)."""
     key = ("bicgstab", struct_key, id(M_fn), n_iters)
@@ -831,15 +911,43 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         X = X0
         total_iters = np.zeros(B, dtype=np.int64)
         resnorm = bnorm.copy()
-        if not use_fused:
+        if not use_fused and not nonsym:
             # ONE device dispatch per refinement pass (f64 residual +
-            # early-exit f32 Krylov + f64 update + new residual norms
-            # all fused -- see _refine_program)
+            # early-exit f32 CG + f64 update + residual norms fused).
+            # NOTE: fusing the OUTER pass loop in as well (nested
+            # while_loops, _mixed_solve_program) faulted the axon TPU
+            # worker -- kept opt-in via FEU_FUSED_SOLVE=1 until the
+            # runtime stabilises.
+            import os as _os2
             M32_fn, m32_args = M32
-            builder = (_refine_program_bicgstab if nonsym
-                       else _refine_program)
-            refine = builder(sys_struct_key(sys), M32_fn,
-                             n_iters=min(300, maxiter))
+            if _os2.environ.get("FEU_FUSED_SOLVE", "0") == "1":
+                solve_prog = _mixed_solve_program(
+                    sys_struct_key(sys), M32_fn,
+                    n_iters=min(300, maxiter))
+                X, rn_dev, tot, passes = solve_prog(
+                    a64, a32, m32_args, RHS, X, jnp.asarray(tol), 1e-4)
+                resnorm = np.asarray(rn_dev)
+                total_iters = np.asarray(tot, dtype=np.int64)
+            else:
+                refine = _refine_program(sys_struct_key(sys), M32_fn,
+                                         n_iters=min(300, maxiter))
+                tol_dev = jnp.asarray(tol)
+                for _ref in range(12):
+                    X, rn_dev, cit = refine(a64, a32, m32_args, RHS, X,
+                                            tol_dev, 1e-4)
+                    resnorm = np.asarray(rn_dev)
+                    total_iters += np.asarray(cit, dtype=np.int64)
+                    _tt = _t(f"refine {_ref}: "
+                             f"({int(np.asarray(cit).max())} iters)", _tt)
+                    if (resnorm <= tol).all():
+                        break
+        elif not use_fused and nonsym:
+            # ONE device dispatch per refinement pass (f64 residual +
+            # early-exit f32 BiCGStab + f64 update + residual norms)
+            M32_fn, m32_args = M32
+            refine = _refine_program_bicgstab(sys_struct_key(sys),
+                                              M32_fn,
+                                              n_iters=min(300, maxiter))
             tol_dev = jnp.asarray(tol)
             for _ref in range(12):
                 X, rn_dev, cit = refine(a64, a32, m32_args, RHS, X,

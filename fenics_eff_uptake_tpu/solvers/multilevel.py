@@ -120,7 +120,7 @@ def _interp(fine_coords, coarse_mesh, free_fine):
     cols = coarse_mesh.cells[np.where(bad, 0, cells)]
     if bad.any():
         tree = cKDTree(coarse_mesh.vertices)
-        _, nearest = tree.query(fine_coords[bad])
+        _, nearest = tree.query(fine_coords[bad], workers=-1)
         cols[bad] = np.stack([nearest] * 3, axis=1)
         lam[bad] = np.array([1.0, 0.0, 0.0])
     lam[~np.asarray(free_fine)] = 0.0
@@ -132,6 +132,22 @@ def _interp(fine_coords, coarse_mesh, free_fine):
         perm=jnp.asarray(perm, dtype=jnp.int32),
         ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
         n_coarse=len(coarse_mesh.vertices))
+
+
+def _system_to_default_device(sys_l):
+    """Ship a (CPU-assembled) TransportSystem's arrays to the default
+    device, uncommitted -- NamedTuple-aware deep map."""
+    def mv(x):
+        if isinstance(x, jnp.ndarray):
+            return jnp.asarray(np.asarray(x))
+        return x
+
+    def map_nt(nt):
+        if hasattr(nt, "_fields"):
+            return type(nt)(*[map_nt(getattr(nt, f)) for f in nt._fields])
+        return mv(nt)
+
+    return map_nt(sys_l)
 
 
 def _level_diag(sys_l, D_vec, mu_vec, R_batch):
@@ -173,18 +189,34 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
     R_batches = ([None] * n_levels if robin_matrices_levels is None
                  else list(robin_matrices_levels))
 
-    # per-level systems (P1, never padded: these are small); the BC/Robin
-    # structure mirrors the fine system's (transport default, or e.g. the
-    # Stokes velocity Laplacian's wall-Dirichlet set)
+    # per-level systems (P1, never padded: these are small).  Assembled
+    # on the HOST CPU backend: through the axon tunnel each of the ~15
+    # tiny eager assembly dispatches costs ~0.1-1s of latency (and each
+    # new geometry's level shapes would remote-compile); on CPU the whole
+    # thing is milliseconds, and the arrays ship to the TPU once.
+    # The BC/Robin structure mirrors the fine system's (transport
+    # default, or e.g. the Stokes velocity Laplacian's wall-Dirichlet).
+    cpu0 = None
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except Exception:
+        pass
     lsys = []
-    for i, m in enumerate(level_meshes):
-        kw = {}
-        if u_levels is not None and u_levels[i] is not None:
-            kw = dict(u_values=u_levels[i][0], u_space=u_levels[i][1])
-        lsys.append(build_transport_system(m, element="P1",
-                                           pad_shapes=False,
-                                           dirichlet=dirichlet,
-                                           with_robin=with_robin, **kw))
+    import contextlib
+    ctx = (jax.default_device(cpu0) if cpu0 is not None
+           and jax.default_backend() != "cpu" else contextlib.nullcontext())
+    with ctx:
+        for i, m in enumerate(level_meshes):
+            kw = {}
+            if u_levels is not None and u_levels[i] is not None:
+                kw = dict(u_values=u_levels[i][0], u_space=u_levels[i][1])
+            lsys.append(build_transport_system(m, element="P1",
+                                               pad_shapes=False,
+                                               dirichlet=dirichlet,
+                                               with_robin=with_robin,
+                                               **kw))
+    if cpu0 is not None and jax.default_backend() != "cpu":
+        lsys = [_system_to_default_device(s) for s in lsys]
 
     # transfers: fine(sys) -> mesh0, mesh0 -> mesh1, ...
     transfers = []
