@@ -44,13 +44,45 @@ def stokes_zero_fields(mesh: MeshData):
 _SADDLE_CACHE = {}
 
 
+def _pad_rect_args(B, ns_pad, np_pad, NB_pad):
+    """Shape-bucketed divergence-block arrays with their scatter plans.
+
+    Padding entities carry zero matrices and scatter into the last
+    (constrained) padded dof -- a no-op.  All index spaces are the
+    PADDED ones, so the compiled saddle program is shared by every mesh
+    in the same bucket.
+    """
+    Be = np.asarray(B.B_e)
+    rd = np.asarray(B.row_dofs)
+    cd = np.asarray(B.col_dofs)
+    NB, nr, ncol = Be.shape
+    if NB_pad > NB:
+        Be = np.concatenate(
+            [Be, np.zeros((NB_pad - NB, nr, ncol), Be.dtype)])
+        rd = np.concatenate(
+            [rd, np.full((NB_pad - NB, nr), np_pad - 1, rd.dtype)])
+        cd = np.concatenate(
+            [cd, np.full((NB_pad - NB, ncol), 2 * ns_pad - 1, cd.dtype)])
+    r_ids = rd.ravel()
+    r_perm = np.argsort(r_ids, kind="stable")
+    c_ids = cd.ravel()
+    c_perm = np.argsort(c_ids, kind="stable")
+    import jax.numpy as jnp
+    return (jnp.asarray(Be), jnp.asarray(rd, dtype=jnp.int32),
+            jnp.asarray(cd, dtype=jnp.int32),
+            jnp.asarray(r_perm, dtype=jnp.int32),
+            jnp.asarray(r_ids[r_perm], dtype=jnp.int32),
+            jnp.asarray(c_perm, dtype=jnp.int32),
+            jnp.asarray(c_ids[c_perm], dtype=jnp.int32))
+
+
 def _saddle_program(key):
     """Stable saddle-operator program: [[A, B^T],[B, 0]] on
     (U (ns_pad, 2) scalar-layout velocity, p (np_pad,)) pytrees.
 
     All arrays arrive as arguments (parallel/sweep.py convention); key
-    carries the static shapes: (velocity struct key, ns_true, np_true,
-    np_pad).
+    carries only bucketed shapes: (velocity struct key, np_pad) -- every
+    mesh in the same buckets reuses the compiled program.
     """
     hit = _SADDLE_CACHE.get(key)
     if hit is not None:
@@ -58,7 +90,7 @@ def _saddle_program(key):
     import jax
     import jax.numpy as jnp
     from ..parallel.sweep import _operator_program
-    vkey, ns_true, np_true, np_pad = key
+    vkey, np_pad = key
     ns_pad = vkey[0]
     A_fn, _, _, _ = _operator_program(vkey)
 
@@ -70,18 +102,15 @@ def _saddle_program(key):
         pm = jnp.where(free_p, p, 0.0)
         # velocity block: A U (identity on constrained rows) + B^T p
         AU = A_fn(a, U)
-        u_flat = Um[:ns_true].reshape(-1)
-        pe = pm[:np_true][rdofs]
+        u_flat = Um.reshape(-1)                     # (2*ns_pad,)
+        pe = pm[rdofs]
         ye_t = jnp.einsum("nij,ni->nj", B_e, pe,
                           precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=p.dtype)
         Btp_flat = jax.ops.segment_sum(
             ye_t.reshape(-1)[cperm], cids,
-            num_segments=2 * ns_true, indices_are_sorted=True)
-        Btp = Btp_flat.reshape(ns_true, 2)
-        if ns_pad > ns_true:
-            Btp = jnp.concatenate(
-                [Btp, jnp.zeros((ns_pad - ns_true, 2), Btp.dtype)])
+            num_segments=2 * ns_pad, indices_are_sorted=True)
+        Btp = Btp_flat.reshape(ns_pad, 2)
         opU = AU + jnp.where(free[:, None], Btp, 0.0)
         # pressure block: B U, identity on pinned + padding rows
         xe = u_flat[cdofs]
@@ -90,9 +119,7 @@ def _saddle_program(key):
                         preferred_element_type=U.dtype)
         Bu = jax.ops.segment_sum(
             ye.reshape(-1)[rperm], rids,
-            num_segments=np_true, indices_are_sorted=True)
-        if np_pad > np_true:
-            Bu = jnp.concatenate([Bu, p[np_true:]])
+            num_segments=np_pad, indices_are_sorted=True)
         Bu = jnp.where(free_p, Bu, p)
         return (opU, Bu)
 
@@ -103,7 +130,7 @@ def _saddle_program(key):
 def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
                     chunk_iters=40, precision=None,
                     level_factors=(3.0, 9.0),
-                    pin_outlet_pressure=False):
+                    pin_outlet_pressure=False, pad_shapes=None):
     """Stokes via block-preconditioned MINRES (the production path).
 
     The saddle system is solved whole with MINRES + diag(MG(A), lumped
@@ -131,7 +158,8 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     dirichlet = [(MARKERS["left"], 0.0), (MARKERS["top"], 0.0),
                  (MARKERS["bottom"], 0.0)]
     sysV = build_transport_system(mesh, element="P2", with_robin=False,
-                                  dirichlet=dirichlet)
+                                  dirichlet=dirichlet,
+                                  pad_shapes=pad_shapes)
     ns_pad, ns_true = sysV.ndofs, sysV.space.ndofs
     V, Q = taylor_hood_spaces(mesh)
     B = divergence_block(Q, V)
@@ -162,20 +190,22 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
                           dirichlet=dirichlet, with_robin=False)
 
     vkey = sys_struct_key(sysV)
-    S_fn = _saddle_program((vkey, ns_true, np_true, np_pad))
+    S_fn = _saddle_program((vkey, np_pad))
     D2j = jnp.asarray(D2)
     mu2j = jnp.zeros(2)
-    Bargs64 = (B.B_e, B.row_dofs, B.col_dofs,
-               B.row_scatter.perm, B.row_scatter.ids_sorted,
-               B.col_scatter.perm, B.col_scatter.ids_sorted)
-    Bargs32 = (B.B_e.astype(jnp.float32),) + Bargs64[1:]
+    NB_pad = _bucket(B.B_e.shape[0], 4096) if ns_pad != ns_true \
+        else B.B_e.shape[0]
+    Bargs64 = _pad_rect_args(B, ns_pad, np_pad, NB_pad)
+    Bargs32 = (Bargs64[0].astype(jnp.float32),) + Bargs64[1:]
     a64 = operator_args(sysV, D2j, mu2j, None, f32=False)
     a32 = operator_args(sysV, D2j, mu2j, None, f32=True)
-    # optional explicit pressure pin at the outlet-bottom corner (the
-    # reference's OutletPoint, solvers.py:272-283); default OFF -- the
+    # pressure free mask: padding rows are identity; the optional
+    # explicit pin at the outlet-bottom corner implements the
+    # reference's OutletPoint (solvers.py:272-283); default OFF -- the
     # do-nothing outflow already fixes the level, and
     # test_stokes_pressure_pin_inconsequential quantifies the difference
     free_p_np = np.ones(np_pad, dtype=bool)
+    free_p_np[np_true:] = False
     if pin_outlet_pressure:
         pc = Q.dof_coords
         corner = np.array([pc[:, 0].max(), 0.0])
@@ -205,17 +235,15 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     from ..parallel.sweep import _operator_program
     A_fn, rhs_fn, _, _ = _operator_program(vkey)
     rU = jnp.where(free[:, None], rhs_fn(a64, G), 0.0)
-    u_flatG = G[:ns_true].reshape(-1)
-    pe = u_flatG[B.col_dofs]
-    ye = jnp.einsum("nij,nj->ni", B.B_e, pe,
+    (Be_p, rd_p, cd_p, rperm_p, rids_p, _, _) = Bargs64
+    pe = G.reshape(-1)[cd_p]
+    ye = jnp.einsum("nij,nj->ni", Be_p, pe,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=G.dtype)
     rp = -jax.ops.segment_sum(
-        ye.reshape(-1)[B.row_scatter.perm], B.row_scatter.ids_sorted,
-        num_segments=np_true, indices_are_sorted=True)
-    if np_pad > np_true:
-        rp = jnp.concatenate([rp, jnp.zeros(np_pad - np_true)])
-    rp = jnp.where(free_p, rp, 0.0)   # pinned dof: p = 0
+        ye.reshape(-1)[rperm_p], rids_p,
+        num_segments=np_pad, indices_are_sorted=True)
+    rp = jnp.where(free_p, rp, 0.0)   # pinned/padding dofs: p = 0
     b = (rU, rp)
 
     if precision == "f64":

@@ -183,7 +183,8 @@ def build_transport_system(mesh: MeshData, element="P2",
                            robin_degree=None,
                            pad_shapes=None,
                            dirichlet=None,
-                           with_robin=True) -> TransportSystem:
+                           with_robin=True,
+                           pad_granularity=None) -> TransportSystem:
     """Assemble the sweep system.  pad_shapes (default: on for TPU)
     buckets the cell/facet/dof counts so compiled kernels are shared
     across meshes of similar size.
@@ -191,7 +192,10 @@ def build_transport_system(mesh: MeshData, element="P2",
     dirichlet: list of (marker_id, value) pairs; defaults to the
     transport BCs c=1 left / c=0 right (ref solvers.py:127-129).
     with_robin=False skips the Robin facet block (e.g. the Stokes
-    velocity Laplacian, whose walls are Dirichlet)."""
+    velocity Laplacian, whose walls are Dirichlet).
+    pad_granularity: (dofs, cells, facets) bucket sizes; the default
+    (8192, 4096, 512) suits study-scale fine meshes -- the small MG
+    level systems use finer buckets."""
     if pad_shapes is None:
         pad_shapes = jax.default_backend() == "tpu"
     space = FunctionSpace(mesh, element)
@@ -213,14 +217,16 @@ def build_transport_system(mesh: MeshData, element="P2",
     ndofs = space.ndofs
 
     if pad_shapes:
-        ndofs_p = _bucket(ndofs + 1, 8192)    # +1: room for the dummy dof
+        g_dof, g_cell, g_facet = pad_granularity or (8192, 4096, 512)
+        ndofs_p = _bucket(ndofs + 1, g_dof)   # +1: room for the dummy dof
         dummy = ndofs                         # first padding dof
-        K = _pad_block(K, _bucket(K.A64.shape[0]), ndofs_p, dummy)
+        K = _pad_block(K, _bucket(K.A64.shape[0], g_cell), ndofs_p, dummy)
         if Adv is not None:
-            Adv = _pad_block(Adv, _bucket(Adv.A64.shape[0]), ndofs_p,
-                             dummy)
+            Adv = _pad_block(Adv, _bucket(Adv.A64.shape[0], g_cell),
+                             ndofs_p, dummy)
         if R is not None:
-            R = _pad_block(R, _bucket(R.A64.shape[0], 512), ndofs_p, dummy)
+            R = _pad_block(R, _bucket(R.A64.shape[0], g_facet), ndofs_p,
+                           dummy)
         pad = ndofs_p - ndofs
         # padding dofs are constrained to 0 (identity rows, zero rhs)
         free = jnp.concatenate([free, jnp.zeros(pad, dtype=bool)])

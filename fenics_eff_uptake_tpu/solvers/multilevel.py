@@ -107,8 +107,13 @@ def level_meshes_for(mesh, factors=(3.0, 9.0), cap=0.45):
     return out
 
 
-def _interp(fine_coords, coarse_mesh, free_fine):
-    """Barycentric transfer data (host). Same scheme as twolevel.py."""
+def _interp(fine_coords, coarse_mesh, free_fine, n_fine_out=None,
+            n_coarse_out=None):
+    """Barycentric transfer data (host). Same scheme as twolevel.py.
+
+    n_fine_out / n_coarse_out: padded (shape-bucketed) sizes -- padding
+    rows get zero weights, the restriction output is simply sized to the
+    padded coarse dof count (padding dofs are constrained there)."""
     from ..analysis.profiles import PointLocator
     from scipy.spatial import cKDTree
     loc = PointLocator(coarse_mesh, k=12, tol=1e-8)
@@ -123,15 +128,23 @@ def _interp(fine_coords, coarse_mesh, free_fine):
         _, nearest = tree.query(fine_coords[bad], workers=-1)
         cols[bad] = np.stack([nearest] * 3, axis=1)
         lam[bad] = np.array([1.0, 0.0, 0.0])
-    lam[~np.asarray(free_fine)] = 0.0
+    nf = len(fine_coords)
+    lam[~np.asarray(free_fine)[:nf]] = 0.0
+    if n_fine_out is not None and n_fine_out > nf:
+        cols = np.concatenate(
+            [cols, np.zeros((n_fine_out - nf, 3), cols.dtype)])
+        lam = np.concatenate(
+            [lam, np.zeros((n_fine_out - nf, 3))])
     ids = cols.ravel()
     perm = np.argsort(ids, kind="stable")
+    n_coarse = (len(coarse_mesh.vertices) if n_coarse_out is None
+                else int(n_coarse_out))
     return _Transfer(
         cols=jnp.asarray(cols, dtype=jnp.int32),
         weights=jnp.asarray(lam, dtype=jnp.float32),
         perm=jnp.asarray(perm, dtype=jnp.int32),
         ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
-        n_coarse=len(coarse_mesh.vertices))
+        n_coarse=n_coarse)
 
 
 def _system_to_default_device(sys_l):
@@ -201,6 +214,12 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
         cpu0 = jax.devices("cpu")[0]
     except Exception:
         pass
+    # shape-bucket the level systems whenever the fine system is padded:
+    # unpadded level shapes would re-trace + remote-compile the whole
+    # V-cycle program per geometry in multi-mesh studies.  The coarsest
+    # level gets a small bucket (its dense inverse scales with nc^2).
+    pad_levels = sys.ndofs > len(sys.space.dof_coords)
+    level_gran = [(1024, 2048, 256)] * (n_levels - 1) + [(256, 1024, 128)]
     lsys = []
     import contextlib
     ctx = (jax.default_device(cpu0) if cpu0 is not None
@@ -210,37 +229,42 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
             kw = {}
             if u_levels is not None and u_levels[i] is not None:
                 kw = dict(u_values=u_levels[i][0], u_space=u_levels[i][1])
-            lsys.append(build_transport_system(m, element="P1",
-                                               pad_shapes=False,
-                                               dirichlet=dirichlet,
-                                               with_robin=with_robin,
-                                               **kw))
+            lsys.append(build_transport_system(
+                m, element="P1", pad_shapes=pad_levels,
+                pad_granularity=level_gran[i], dirichlet=dirichlet,
+                with_robin=with_robin, **kw))
     if cpu0 is not None and jax.default_backend() != "cpu":
         lsys = [_system_to_default_device(s) for s in lsys]
 
-    # transfers: fine(sys) -> mesh0, mesh0 -> mesh1, ...
+    def _pad_Rb(Rb, blk):
+        """Pad per-sample Robin matrices to a block's padded facet count."""
+        if Rb is None or blk is None:
+            return Rb
+        Rb = np.asarray(Rb)
+        padF = blk.A64.shape[0] - Rb.shape[1]
+        if padF > 0:
+            Rb = np.concatenate(
+                [Rb, np.zeros((Rb.shape[0], padF) + Rb.shape[2:],
+                              Rb.dtype)], axis=1)
+        return jnp.asarray(Rb)
+
+    R_batches = [_pad_Rb(R_batches[i], lsys[i].R)
+                 for i in range(n_levels)]
+    robin_matrices_fine = _pad_Rb(robin_matrices_fine, sys.R)
+
+    # transfers: fine(sys) -> mesh0, mesh0 -> mesh1, ... (all at padded
+    # sizes so the compiled V-cycle is geometry-independent per bucket)
     transfers = []
-    n_true = len(sys.space.dof_coords)
-    free_fine = np.asarray(sys.free)[:n_true]
-    tr = _interp(sys.space.dof_coords, level_meshes[0], free_fine)
-    if sys.ndofs > n_true:      # shape-bucketing padding: no correction
-        pad = sys.ndofs - n_true
-        cols = np.concatenate([np.asarray(tr.cols),
-                               np.zeros((pad, 3), np.int32)])
-        lam = np.concatenate([np.asarray(tr.weights),
-                              np.zeros((pad, 3), np.float32)])
-        ids = cols.ravel()
-        perm = np.argsort(ids, kind="stable")
-        tr = _Transfer(cols=jnp.asarray(cols, dtype=jnp.int32),
-                       weights=jnp.asarray(lam, dtype=jnp.float32),
-                       perm=jnp.asarray(perm, dtype=jnp.int32),
-                       ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
-                       n_coarse=tr.n_coarse)
-    transfers.append(tr)
+    free_fine = np.asarray(sys.free)
+    transfers.append(_interp(sys.space.dof_coords, level_meshes[0],
+                             free_fine, n_fine_out=sys.ndofs,
+                             n_coarse_out=lsys[0].ndofs))
     for i in range(n_levels - 1):
         transfers.append(_interp(level_meshes[i].vertices,
                                  level_meshes[i + 1],
-                                 np.asarray(lsys[i].free)))
+                                 np.asarray(lsys[i].free),
+                                 n_fine_out=lsys[i].ndofs,
+                                 n_coarse_out=lsys[i + 1].ndofs))
 
     # levels: fine + all mids (the coarsest is the dense solve, no smooth)
     levels = []

@@ -102,3 +102,32 @@ def test_multilevel_preconditioner_matches_jacobi():
                          precision="mixed", multilevel=ml,
                          chunk_iters=10, maxiter=1000)
     assert np.abs(np.asarray(X_m) - np.asarray(X_j)).max() < 1e-7
+
+
+def test_multilevel_with_shape_bucketing():
+    """Padded fine + padded MG levels (the TPU study configuration):
+    same solution as the unpadded path."""
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.parallel.sweep import (
+        build_transport_system, solve_sweep)
+    from fenics_eff_uptake_tpu.solvers.multilevel import build_multilevel
+
+    kw = dict(width=5.0, height=1.0, sulcus_depth=0.25, sulcus_width=0.25,
+              refinement_factor=1, domain_type="sulcus")
+    mesh = generate_mesh(mesh_size=0.15, **kw)
+    mids = [generate_mesh(mesh_size=0.3, **kw),
+            generate_mesh(mesh_size=0.6, **kw)]
+    mus = np.array([0.5, 5.0])
+    D = np.ones_like(mus)
+
+    sys_p = build_transport_system(mesh, element="P2", pad_shapes=True)
+    ml_p = build_multilevel(sys_p, mids, D, mu_values=mus)
+    assert ml_p.levels[1].sys.ndofs % 1024 == 0   # bucketed mid level
+    X_p, info = solve_sweep(sys_p, D, mu_values=mus, rtol=1e-12,
+                            precision="mixed", multilevel=ml_p,
+                            chunk_iters=10, maxiter=1000)
+
+    sys_u = build_transport_system(mesh, element="P2", pad_shapes=False)
+    X_u, _ = solve_sweep(sys_u, D, mu_values=mus, rtol=1e-13,
+                         precision="f64", chunk_iters=100, maxiter=20000)
+    assert np.abs(np.asarray(X_p) - np.asarray(X_u)).max() < 1e-8
