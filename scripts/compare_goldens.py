@@ -1,0 +1,207 @@
+"""Line-by-line comparison of our full-size study CSVs vs the reference
+FEniCS goldens, emitting markdown tables for PARITY.md.
+
+Usage: python scripts/compare_goldens.py [--ref /root/reference]
+Reads examples/<study>_tpu_h0.02 outputs; prints one table per study
+with per-row deltas on the headline columns.
+"""
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+
+REF = "/root/reference"
+
+
+def _table(title, rows, cols):
+    print(f"\n### {title}\n")
+    print("| " + " | ".join(cols) + " |")
+    print("|" + "---|" * len(cols))
+    for r in rows:
+        print("| " + " | ".join(str(x) for x in r) + " |")
+
+
+def _fmt(x):
+    if x is None or (isinstance(x, float) and not np.isfinite(x)):
+        return "--"
+    return f"{x:.3e}"
+
+
+def compare_advdiff(ours_dir, ref_root):
+    ref = pd.read_csv(os.path.join(
+        ref_root, "Advection-Diffusion", "Results Data",
+        "advdiff_validation_step_pe_x_mu.csv"))
+    ours = pd.read_csv(os.path.join(
+        ours_dir, "Results Data", "advdiff_validation_step_pe_x_mu.csv"))
+    rows = []
+    for _, rr in ref.iterrows():
+        sel = ours[(np.isclose(ours["Pe"], rr["Pe"]))
+                   & (np.isclose(ours["mu_factor"], rr["mu_factor"]))
+                   & (ours["domain_type"] == rr["domain_type"])]
+        if not len(sel):
+            rows.append([rr["Pe"], rr["mu_factor"], rr["domain_type"],
+                         "MISSING", "", "", ""])
+            continue
+        so = sel.iloc[0]
+
+        def d(col):
+            a, b = so.get(col), rr.get(col)
+            if pd.isna(a) or pd.isna(b):
+                return None
+            return abs(a - b) / max(abs(b), 1e-300)
+
+        rows.append([rr["Pe"], rr["mu_factor"], rr["domain_type"],
+                     _fmt(d("total_flux")), _fmt(d("avg_conc")),
+                     _fmt(d("CR")), _fmt(d("flux_error_pct"))])
+    _table("Adv-diff 3x3 validation (relative deltas vs FEniCS)", rows,
+           ["Pe", "mu", "domain", "d total_flux", "d avg_conc", "d CR",
+            "d flux_err_pct"])
+
+
+def compare_phase_b(ours_dir, ref_root):
+    ref = pd.read_csv(os.path.join(
+        ref_root, "No Advection - Phase B", "no_adv_mu_sweep_results.csv"))
+    our_path = None
+    for root, _, files in os.walk(ours_dir):
+        if "no_adv_mu_sweep_results.csv" in files:
+            our_path = os.path.join(root, "no_adv_mu_sweep_results.csv")
+    if our_path is None:
+        print(f"\n(phase B CSV not found under {ours_dir})")
+        return
+    ours = pd.read_csv(our_path)
+    deltas = {"avg_conc_sulc": [], "avg_conc_rect": [], "CR": [],
+              "flux_ratio": [], "flux_sulc_y0": []}
+    missing = 0
+    for _, rr in ref.iterrows():
+        sel = ours[(ours["geometry"] == rr["geometry"])
+                   & np.isclose(ours["mu_factor"], rr["mu_factor"])]
+        if not len(sel):
+            missing += 1
+            continue
+        so = sel.iloc[0]
+        for col in deltas:
+            if not pd.isna(rr[col]) and not pd.isna(so[col]):
+                deltas[col].append(abs(so[col] - rr[col])
+                                   / max(abs(rr[col]), 1e-300))
+    print(f"\n### Phase B ({len(ref)} golden rows, relative deltas vs "
+          "FEniCS)\n")
+    for col, ds in deltas.items():
+        if ds:
+            print(f"- {col}: matched {len(ds)} rows, "
+                  f"median {np.median(ds):.3e}, max {np.max(ds):.3e}")
+    if missing:
+        print(f"- missing rows: {missing}")
+
+
+def compare_no_uptake(ours_dir, ref_root):
+    ref = pd.read_csv(os.path.join(
+        ref_root, "No Uptake Simulations",
+        "Geometry Comparison Analysis",
+        "geometry_comparison_results.csv"))
+    our_path = os.path.join(ours_dir, "Geometry Comparison Analysis",
+                            "geometry_comparison_results.csv")
+    if not os.path.exists(our_path):
+        print(f"\n(no-uptake CSV not found at {our_path})")
+        return
+    ours = pd.read_csv(our_path)
+    cols = ["Avg Concentration", "Mouth E_L1", "Mouth_Flux_Total",
+            "Total Mass", "Concentration_Ratio"]
+    deltas = {c: [] for c in cols}
+    nmatch = 0
+    for _, rr in ref.iterrows():
+        if rr["Domain"] == "sulcus":
+            sel = ours[(ours["Domain"] == "sulcus")
+                       & np.isclose(ours["Peclet"], rr["Peclet"])
+                       & np.isclose(ours["Sulcus Width (mm)"],
+                                    rr["Sulcus Width (mm)"])
+                       & np.isclose(ours["Sulcus Depth (mm)"],
+                                    rr["Sulcus Depth (mm)"])]
+        else:
+            sel = ours[(ours["Domain"] == "rectangle")
+                       & np.isclose(ours["Peclet"], rr["Peclet"])]
+        if not len(sel):
+            continue
+        nmatch += 1
+        so = sel.iloc[0]
+        for c in cols:
+            if c in ref.columns and c in ours.columns and \
+                    not pd.isna(rr[c]) and not pd.isna(so[c]):
+                deltas[c].append(abs(so[c] - rr[c])
+                                 / max(abs(rr[c]), 1e-300))
+    print(f"\n### No-uptake ({nmatch}/{len(ref)} rows matched, relative "
+          "deltas vs FEniCS)\n")
+    for c, ds in deltas.items():
+        if ds:
+            print(f"- {c}: median {np.median(ds):.3e}, "
+                  f"max {np.max(ds):.3e} over {len(ds)} rows")
+
+
+def compare_phase_a(ours_dir, ref_root):
+    pairs = [
+        ("Mu Parameter Sweep Analysis/mu_parameter_sweep_results.csv",
+         ["Mu_Eff_Simulation", "Ratio_Sim", "Mu_Eff_Opening"],
+         ["Mu_Factor"]),
+        ("Mu_Eff Spatial Analysis Analysis/mu_eff_analysis_results.csv",
+         ["Mu_Eff_Simulation", "Mu_Eff_Opening", "Mu_Eff_Analytical"],
+         ["Mu_Factor"]),
+        ("Aspect Ratio Study Analysis/aspect_ratio_analysis_results.csv",
+         ["Ratio_Sim"], ["Width", "Depth"]),
+    ]
+    for rel, cols, keys in pairs:
+        rpath = os.path.join(ref_root, "No Advection - Phase A", rel)
+        opath = None
+        base = os.path.basename(rel)
+        for root, _, files in os.walk(ours_dir):
+            if base in files:
+                opath = os.path.join(root, base)
+        if opath is None or not os.path.exists(rpath):
+            print(f"\n(phase A: {base} missing: ours={opath})")
+            continue
+        ref = pd.read_csv(rpath)
+        ours = pd.read_csv(opath)
+        deltas = {c: [] for c in cols}
+        n = 0
+        for _, rr in ref.iterrows():
+            m = np.ones(len(ours), dtype=bool)
+            for k in keys:
+                if k not in ours.columns or k not in ref.index.names \
+                        and k not in ref.columns:
+                    m[:] = False
+                    break
+                m &= np.isclose(ours[k], rr[k])
+            sel = ours[m]
+            if not len(sel):
+                continue
+            n += 1
+            so = sel.iloc[0]
+            for c in cols:
+                if c in ref.columns and c in ours.columns and \
+                        not pd.isna(rr[c]) and not pd.isna(so[c]):
+                    deltas[c].append(abs(so[c] - rr[c])
+                                     / max(abs(rr[c]), 1e-300))
+        print(f"\n### Phase A: {base} ({n}/{len(ref)} rows matched)\n")
+        for c, ds in deltas.items():
+            if ds:
+                print(f"- {c}: median {np.median(ds):.3e}, "
+                      f"max {np.max(ds):.3e} over {len(ds)} rows")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default=REF)
+    ap.add_argument("--tag", default="tpu_h0.02")
+    args = ap.parse_args()
+    t = args.tag
+    if os.path.isdir(f"examples/advdiff_{t}"):
+        compare_advdiff(f"examples/advdiff_{t}", args.ref)
+    if os.path.isdir(f"examples/phase_b_{t}"):
+        compare_phase_b(f"examples/phase_b_{t}", args.ref)
+    if os.path.isdir(f"examples/no_uptake_{t}"):
+        compare_no_uptake(f"examples/no_uptake_{t}", args.ref)
+    if os.path.isdir(f"examples/phase_a_{t}"):
+        compare_phase_a(f"examples/phase_a_{t}", args.ref)
+
+
+if __name__ == "__main__":
+    main()
