@@ -363,13 +363,26 @@ class _LevelArgs(NamedTuple):
     t_ids: jnp.ndarray
 
 
+def _ml_dtype(f32):
+    """Smoothing dtype: f32 default; FEU_ML_BF16=1 runs the V-cycle's
+    element applies/vectors in bf16 (the fine-level gathers dominate the
+    per-iteration cost; M-internal precision only affects CG iteration
+    counts, not the solution)."""
+    import os
+    if not f32:
+        return jnp.float64
+    if os.environ.get("FEU_ML_BF16", "0") == "1":
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _ml_struct_key(ml: MultilevelData, f32: bool):
     from ..parallel.sweep import sys_struct_key
     lv = tuple(
         (sys_struct_key(lev.sys), lev.transfer.n_coarse,
          ml.R_batches[i] is not None)
         for i, lev in enumerate(ml.levels))
-    return (lv, int(ml.Ainv.shape[1]), bool(f32))
+    return (lv, int(ml.Ainv.shape[1]), str(_ml_dtype(f32)))
 
 
 def _ml_program(struct_key):
@@ -377,7 +390,7 @@ def _ml_program(struct_key):
     if hit is not None:
         return hit
     from ..parallel.sweep import _args_block_apply
-    level_structs, nc, f32 = struct_key
+    level_structs, nc, _dt_tag = struct_key
     n_mid = len(level_structs)
     ndofs_l = [s[0][0] for s in level_structs]
     ncoarse_l = [s[1] for s in level_structs]
@@ -445,15 +458,21 @@ def _ml_program(struct_key):
 def ml_preconditioner_args(ml: MultilevelData, f32=True):
     """The runtime argument pytree for the cached V-cycle program."""
     from ..parallel.sweep import _BlockArgs
-    dt = jnp.float32 if f32 else jnp.float64
+    dt = _ml_dtype(f32)
     levels = []
     for i, lev in enumerate(ml.levels):
         s = lev.sys
         Rb = ml.R_batches[i]
+        def _ba(blk):
+            ba = _BlockArgs.of(blk, f32)
+            if dt == jnp.bfloat16:
+                ba = ba._replace(A=ba.A.astype(dt))
+            return ba
+
         levels.append(_LevelArgs(
-            K=_BlockArgs.of(s.K, f32),
-            Adv=None if s.Adv is None else _BlockArgs.of(s.Adv, f32),
-            R=None if s.R is None else _BlockArgs.of(s.R, f32),
+            K=_ba(s.K),
+            Adv=None if s.Adv is None else _ba(s.Adv),
+            R=None if s.R is None else _ba(s.R),
             R_batch=None if Rb is None else jnp.asarray(Rb).astype(dt),
             free=lev.free,
             dinv=lev.dinv.astype(dt),

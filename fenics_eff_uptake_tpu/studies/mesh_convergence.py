@@ -56,8 +56,15 @@ def richardson(h, q):
 
 def run_mesh_convergence(mu_factors=(0.1, 1.0, 10.0), ladder=None,
                         sulci_w_dim=0.5, sulci_h_dim=1.0,
-                        base_dir=BASE_DIR, verbose=True):
-    """Refinement ladder on the reference 0.5x1.0 mm sulcus geometry."""
+                        base_dir=BASE_DIR, verbose=True,
+                        realisation_check=False):
+    """Refinement ladder on the reference 0.5x1.0 mm sulcus geometry.
+
+    realisation_check=True additionally runs a second, independently
+    generated mesh at h ~= the finest ladder point (h*1.005) and records
+    the per-quantity deltas -- the MESH-REALISATION FLOOR: the FEniCS
+    goldens were produced on Gmsh meshes we cannot bit-reproduce, so no
+    comparison can beat this floor (PARITY.md methodology)."""
     print("=" * 60 + "\nMESH CONVERGENCE (refinement ladder)\n" + "=" * 60)
     t0 = time.time()
     if ladder is None:
@@ -108,12 +115,45 @@ def run_mesh_convergence(mu_factors=(0.1, 1.0, 10.0), ladder=None,
         if verbose:
             print(f"  mu*={mf}: order~{p_est}, "
                   f"extrapolated mu_eff_sim={q0}")
+    floor = None
+    if realisation_check:
+        h_f = ladder[-1]
+        geom_b = make_no_adv_params(1.0, sulci_w_dim=sulci_w_dim,
+                                    sulci_h_dim=sulci_h_dim,
+                                    mesh_size_dim=h_f * 1.005)
+        res_b = no_adv_batch(geom_b, list(mu_factors), "sulcus",
+                             verbose=verbose)
+        floor = {}
+        for mf, rb in zip(mu_factors, res_b):
+            sub = df[(df["mu_factor"] == mf)
+                     & (df["mesh_size"] == h_f)]
+            if not len(sub):
+                continue
+            sa = sub.iloc[0]
+            meb = rb["mu_eff_comparison"]
+            pfb = rb["flux_metrics"]["sulcus_specific"]["physical_flux"]
+            floor[str(mf)] = {
+                "mu_eff_sim_rel": abs(meb["mu_eff_sim"]
+                                      - sa["mu_eff_sim"])
+                / abs(sa["mu_eff_sim"]),
+                "y0_flux_rel": abs(pfb["y0_flux"]["total"]
+                                   - sa["y0_flux"])
+                / abs(sa["y0_flux"]),
+                "total_mass_rel": abs(
+                    rb["mass_metrics"]["total_mass"]
+                    - sa["total_mass"]) / abs(sa["total_mass"]),
+            }
+            if verbose:
+                print(f"  realisation floor mu*={mf}: "
+                      f"{floor[str(mf)]}")
+
     save_metadata({
         "study_type": "Mesh Convergence",
         "ladder": list(ladder),
         "mu_factors": list(mu_factors),
         "geometry_mm": [sulci_w_dim, sulci_h_dim],
         "convergence": conv,
+        "mesh_realisation_floor": floor,
         "elapsed_s": time.time() - t0,
     }, os.path.join(study_dir, "study_metadata.json"))
 

@@ -64,6 +64,12 @@ def main():
                 run_advdiff_step_validation(
                     output_base_dir=f"examples/advdiff_{tag}",
                     mesh_size_dim=h)
+            elif study == "richardson":
+                from fenics_eff_uptake_tpu.studies.mesh_convergence \
+                    import run_mesh_convergence
+                run_mesh_convergence(
+                    base_dir=f"examples/mesh_convergence_{tag}",
+                    realisation_check=True)
             elif study == "no_uptake":
                 from fenics_eff_uptake_tpu.studies.no_uptake import \
                     run_geometry_study
