@@ -8,6 +8,13 @@ once per (mesh, space) and evaluates every boundary/interface/mass integral
 for ALL sweep columns in one jitted call returning (B,) arrays, which the
 study drivers then reshape into the reference's metric dict schema.
 
+Round-2: the jitted program is STRUCTURE-KEYED with every quadrature
+table as a runtime ARGUMENT and facet/cell counts padded to buckets
+(padding rows carry zero arc-length / zero detJ, so integrals are
+unaffected) -- multi-geometry studies share one compiled metrics program
+per bucket instead of remote-compiling per mesh (parallel/sweep.py's
+argument-passing convention).
+
 Supports the full advection-diffusion bookkeeping: pass a velocity
 Function (shared across the batch -- the nondimensional Stokes field is
 Pe-independent), per-sample diffusivities ``D_vec`` (for Pe sweeps), and
@@ -35,164 +42,153 @@ __all__ = ["SweepMetrics", "build_sweep_metrics", "metrics_to_dicts"]
 
 
 class SweepMetrics(NamedTuple):
-    fn: "object"          # jitted (X (B,n), mu_vec (B,)) -> dict of (B,)
+    fn: "object"          # (X (B,n), mu_vec (B,), D_vec|None) -> dict (B,)
     space: FunctionSpace
 
 
-def _batch_eval(fq, X):
-    """(B, F, Q) field values on facets for all columns."""
+def _bucket(n, g=256):
+    return ((n + g - 1) // g) * g
+
+
+class _FQArgs(NamedTuple):
+    """Padded facet-set quadrature tables (runtime arguments)."""
+    phi: jnp.ndarray          # (F,Q,nd)
+    grad: jnp.ndarray         # (F,Q,nd,2)
+    normal: jnp.ndarray       # (F,2)
+    length: jnp.ndarray       # (F,)  zero on padding rows
+    cell_dofs: jnp.ndarray    # (F,nd)
+
+
+def _fq_args(fq, pad=True):
+    if fq is None:
+        return None
+    F = fq.phi.shape[0]
+    Fp = _bucket(F) if pad else F
+    def p(a, fill=0.0):
+        a = np.asarray(a)
+        if Fp == F:
+            return jnp.asarray(a)
+        w = [(0, Fp - F)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.asarray(np.pad(a, w, constant_values=fill))
+    return _FQArgs(phi=p(fq.phi), grad=p(fq.grad), normal=p(fq.normal),
+                   length=p(fq.length),
+                   cell_dofs=p(fq.cell_dofs).astype(jnp.int32))
+
+
+def _batch_eval(fq: _FQArgs, X):
     ce = X[:, fq.cell_dofs]                        # (B,F,nd)
     return jnp.einsum("fqi,bfi->bfq", fq.phi, ce)
 
 
-def _batch_grad_n(fq, X):
-    """(B, F, Q) normal gradient on facets for all columns."""
+def _batch_grad_n(fq: _FQArgs, X):
     ce = X[:, fq.cell_dofs]
     g = jnp.einsum("fqia,bfi->bfqa", fq.grad, ce)  # (B,F,Q,2)
     return jnp.einsum("bfqa,fa->bfq", g, fq.normal)
 
 
-def _batch_facet_integral(fq, density):
-    """(B,) integral of a (B,F,Q) density over the facet set."""
-    return jnp.einsum("q,bfq,f->b", fq.qw, density, fq.length)
+def _batch_facet_integral(qw, fq: _FQArgs, density):
+    return jnp.einsum("q,bfq,f->b", qw, density, fq.length)
 
 
-def build_sweep_metrics(space: FunctionSpace, mesh: MeshData, D,
-                        degree=4, u=None, mu_profiles=None) -> SweepMetrics:
-    """Build the jitted all-metrics kernel for a sweep.
+_METRICS_PROG_CACHE = {}
 
-    D            default diffusivity baked into the kernel; per-sample
-                 values can be supplied at call time via ``D_vec``.
-    u            optional velocity Function (vector space), SHARED across
-                 the batch; its facet normal traces u.n are baked in as
-                 (F, Q) constants (ref analysis.py:29-37 advective term).
-    mu_profiles  optional list (len B) of callables mu(x) evaluated at the
-                 bottom/segment quad points and baked as (B, F, Q) tables;
-                 overrides the runtime ``mu_vec`` for the uptake integrals
-                 (the adv-diff step-mu studies, ref analysis.py:307-333).
-    """
-    quads = {}
-    for name in ("left", "right", "top", "bottom"):
-        quads[name] = boundary_quad(space, mesh.bc_marker == MARKERS[name],
-                                    degree)
-    seg_quads = {}
-    if mesh.domain_type == "sulcus":
-        for name in ("bottom_left", "sulcus", "bottom_right"):
-            seg_quads[name] = boundary_quad(
-                space, mesh.bottom_marker == MARKERS[name], degree)
-        quads["y0_ext"] = boundary_quad(
-            space, mesh.y0_marker == MARKERS["y0_line"], degree)
-        quads["mouth"] = mouth_quad(space, degree)
 
-    # cell quadrature for mass integrals
-    qp, qw = triangle_rule(degree)
-    phi_c = jnp.asarray(tabulate(space.element, qp))
-    detJ, _ = cell_geometry(jnp.asarray(mesh.vertices),
-                            jnp.asarray(mesh.cells))
-    cdofs = jnp.asarray(space.cell_dofs)
-    qwj = jnp.asarray(qw)
-    if mesh.domain_type == "sulcus":
-        cav_mask = jnp.asarray(mesh.cell_domain == 1)
-    else:
-        cav_mask = None
-    area_cell = qwj.sum() * detJ   # integral of 1 per cell
+def _tables_struct(tables):
+    """Static structure key for the padded tables pytree."""
+    def sh(x):
+        return None if x is None else tuple(x.shape)
+    quads, un_tab, mu_tab, cell = tables
+    return (tuple(sorted((k, sh(v.phi) if v is not None else None)
+                         for k, v in quads.items())),
+            tuple(sorted((k, sh(v)) for k, v in un_tab.items())),
+            tuple(sorted((k, None if v is None else tuple(v.shape[1:]))
+                         for k, v in mu_tab.items())),
+            tuple(sh(c) for c in cell[:4]),
+            )
 
-    # baked u.n traces per facet set (shared across the batch)
-    un_tab = {}
-    if u is not None:
-        for name, fq in list(quads.items()) + list(seg_quads.items()):
-            if fq is None:
-                un_tab[name] = None
-                continue
-            uq = fq.eval_vector(u.values, u.space)          # (F,Q,2)
-            un_tab[name] = jnp.einsum("fqa,fa->fq", uq, fq.normal)
 
-    # baked per-sample mu(x) quadrature tables (step-mu sweeps)
-    mu_tab = {}
-    if mu_profiles is not None:
-        names = ["bottom"] + (list(seg_quads) if seg_quads else [])
-        for name in names:
-            fq = quads.get(name) or seg_quads.get(name)
-            if fq is None:
-                mu_tab[name] = None
-                continue
-            mu_tab[name] = jnp.asarray(np.stack(
-                [np.asarray(m(fq.x[:, :, 0]), dtype=np.float64)
-                 for m in mu_profiles]))                    # (B,F,Q)
+def _metrics_program(struct, is_sulcus):
+    key = (struct, is_sulcus)
+    hit = _METRICS_PROG_CACHE.get(key)
+    if hit is not None:
+        return hit
 
-    def _uptake(name, fq, X, mu_vec):
-        cq = _batch_eval(fq, X)
-        if name in mu_tab:
-            mt = mu_tab[name]
-            if mt is None:
-                return jnp.zeros(X.shape[0])
-            return _batch_facet_integral(fq, mt * cq)
-        return mu_vec * _batch_facet_integral(fq, cq)
-
-    def fn(X, mu_vec, D_vec=None):
+    @jax.jit
+    def fn(tables, X, mu_vec, D_vec):
+        quads, un_tab, mu_tab, cell = tables
+        phi_c, detJ, cdofs, cav_mask, qwj, qw_f = cell
         B = X.shape[0]
-        # scalar default or per-sample (B,1,1) broadcast over (B,F,Q)
-        Ds = D if D_vec is None else D_vec[:, None, None]
+        Ds = D_vec[:, None, None]
         zeros = jnp.zeros(B)
 
         def densities(name, fq):
-            """(diffusive, advective) (B,F,Q) flux densities on fq."""
             dd = -Ds * _batch_grad_n(fq, X)
             un = un_tab.get(name)
             ad = (un[None, :, :] * _batch_eval(fq, X)
                   if un is not None else None)
             return dd, ad
 
+        def uptake(name, fq):
+            cq = _batch_eval(fq, X)
+            if name in mu_tab:
+                mt = mu_tab[name]
+                if mt is None:
+                    return zeros
+                return _batch_facet_integral(qw_f, fq, mt * cq)
+            return mu_vec * _batch_facet_integral(qw_f, fq, cq)
+
         out = {}
-        # physical fluxes per bc boundary
         for name in ("left", "right", "top", "bottom"):
-            fq = quads[name]
+            fq = quads.get(name)
             if fq is None:
                 out[f"flux_{name}"] = out[f"adv_{name}"] = zeros
                 continue
             dd, ad = densities(name, fq)
-            out[f"flux_{name}"] = _batch_facet_integral(fq, dd)
-            out[f"adv_{name}"] = (_batch_facet_integral(fq, ad)
+            out[f"flux_{name}"] = _batch_facet_integral(qw_f, fq, dd)
+            out[f"adv_{name}"] = (_batch_facet_integral(qw_f, fq, ad)
                                   if ad is not None else zeros)
-        # Robin uptake on bottom: int mu(x) c ds
-        out["uptake_bottom"] = _uptake("bottom", quads["bottom"], X, mu_vec)
+        out["uptake_bottom"] = (uptake("bottom", quads["bottom"])
+                                if quads.get("bottom") is not None
+                                else zeros)
 
-        if mesh.domain_type == "sulcus":
-            for name, fq in seg_quads.items():
+        if is_sulcus:
+            for name in ("bottom_left", "sulcus", "bottom_right"):
+                fq = quads.get(name)
                 if fq is None:
                     out[f"flux_{name}"] = out[f"adv_{name}"] = zeros
                     out[f"uptake_{name}"] = zeros
                     continue
                 dd, ad = densities(name, fq)
-                out[f"flux_{name}"] = _batch_facet_integral(fq, dd)
-                out[f"adv_{name}"] = (_batch_facet_integral(fq, ad)
-                                      if ad is not None else zeros)
-                out[f"uptake_{name}"] = _uptake(name, fq, X, mu_vec)
-            # exterior flat y0 + channel-side mouth trace
-            fy = quads["y0_ext"]
-            mq = quads["mouth"]
+                out[f"flux_{name}"] = _batch_facet_integral(qw_f, fq, dd)
+                out[f"adv_{name}"] = (
+                    _batch_facet_integral(qw_f, fq, ad)
+                    if ad is not None else zeros)
+                out[f"uptake_{name}"] = uptake(name, fq)
+            fy = quads.get("y0_ext")
+            mq = quads.get("mouth")
             if fy is not None:
                 dd, ad = densities("y0_ext", fy)
-                d_ext = _batch_facet_integral(fy, dd)
-                a_ext = (_batch_facet_integral(fy, ad)
+                d_ext = _batch_facet_integral(qw_f, fy, dd)
+                a_ext = (_batch_facet_integral(qw_f, fy, ad)
                          if ad is not None else zeros)
             else:
                 d_ext = a_ext = zeros
             if mq is not None:
                 dd, ad = densities("mouth", mq)
-                J_open = _batch_facet_integral(mq, dd)
-                J_open_adv = (_batch_facet_integral(mq, ad)
+                J_open = _batch_facet_integral(qw_f, mq, dd)
+                J_open_adv = (_batch_facet_integral(qw_f, mq, ad)
                               if ad is not None else zeros)
                 # exchange metrics use the TOTAL signed density
                 # (ref analysis.py:252-263)
                 q_open = dd if ad is None else dd + ad
-                out["E_L1"] = _batch_facet_integral(mq, jnp.abs(q_open))
+                out["E_L1"] = _batch_facet_integral(
+                    qw_f, mq, jnp.abs(q_open))
                 out["Q_in"] = _batch_facet_integral(
-                    mq, jnp.maximum(q_open, 0.0))
+                    qw_f, mq, jnp.maximum(q_open, 0.0))
                 out["Q_out"] = _batch_facet_integral(
-                    mq, jnp.maximum(-q_open, 0.0))
+                    qw_f, mq, jnp.maximum(-q_open, 0.0))
                 out["C_mouth"] = _batch_facet_integral(
-                    mq, _batch_eval(mq, X))
+                    qw_f, mq, _batch_eval(mq, X))
             else:
                 J_open = J_open_adv = zeros
                 out["E_L1"] = out["Q_in"] = out["Q_out"] = zeros
@@ -201,11 +197,11 @@ def build_sweep_metrics(space: FunctionSpace, mesh: MeshData, D,
             out["adv_mouth"] = J_open_adv
             out["flux_y0_ext"] = d_ext
             out["adv_y0_ext"] = a_ext
-            out["C_y0_ext"] = (_batch_facet_integral(
-                fy, _batch_eval(fy, X)) if fy is not None
-                else zeros)
+            out["C_y0_ext"] = (
+                _batch_facet_integral(qw_f, fy, _batch_eval(fy, X))
+                if fy is not None else zeros)
 
-        # mass integrals
+        # mass integrals (padding cells carry detJ = 0)
         cq = jnp.einsum("qi,bti->btq", phi_c, X[:, cdofs])   # (B,T,Q)
         per_cell = jnp.einsum("q,btq,t->bt", qwj, cq, detJ)  # (B,T)
         out["total_mass"] = per_cell.sum(axis=1)
@@ -214,9 +210,105 @@ def build_sweep_metrics(space: FunctionSpace, mesh: MeshData, D,
                                            0.0).sum(axis=1)
         return out
 
-    return SweepMetrics(fn=jax.jit(fn), space=space)
+    _METRICS_PROG_CACHE[key] = fn
+    return fn
 
 
+def build_sweep_metrics(space: FunctionSpace, mesh: MeshData, D,
+                        degree=4, u=None, mu_profiles=None) -> SweepMetrics:
+    """Build the all-metrics kernel for a sweep (structure-cached).
+
+    D            default diffusivity; per-sample values can be supplied
+                 at call time via ``D_vec``.
+    u            optional velocity Function (vector space), SHARED across
+                 the batch; its facet normal traces u.n are baked in as
+                 (F, Q) tables (ref analysis.py:29-37 advective term).
+    mu_profiles  optional list (len B) of callables mu(x) evaluated at
+                 the bottom/segment quad points into (B, F, Q) tables;
+                 overrides the runtime ``mu_vec`` for the uptake
+                 integrals (the adv-diff step-mu studies,
+                 ref analysis.py:307-333).
+    """
+    raw = {}
+    for name in ("left", "right", "top", "bottom"):
+        raw[name] = boundary_quad(space, mesh.bc_marker == MARKERS[name],
+                                  degree)
+    is_sulcus = mesh.domain_type == "sulcus"
+    if is_sulcus:
+        for name in ("bottom_left", "sulcus", "bottom_right"):
+            raw[name] = boundary_quad(
+                space, mesh.bottom_marker == MARKERS[name], degree)
+        raw["y0_ext"] = boundary_quad(
+            space, mesh.y0_marker == MARKERS["y0_line"], degree)
+        raw["mouth"] = mouth_quad(space, degree)
+
+    quads = {k: _fq_args(v) for k, v in raw.items()}
+
+    # facet quad weights (shared across sets at one degree)
+    qw_f = None
+    for v in raw.values():
+        if v is not None:
+            qw_f = jnp.asarray(v.qw)
+            break
+
+    # cell quadrature (padded: detJ = 0 on padding cells)
+    qp, qw = triangle_rule(degree)
+    phi_c = jnp.asarray(tabulate(space.element, qp))
+    detJ_t, _ = cell_geometry(jnp.asarray(mesh.vertices),
+                              jnp.asarray(mesh.cells))
+    T = mesh.num_cells
+    Tp = _bucket(T, 4096)
+    detJ = jnp.asarray(np.pad(np.asarray(detJ_t), (0, Tp - T)))
+    cdofs = jnp.asarray(np.pad(np.asarray(space.cell_dofs),
+                               ((0, Tp - T), (0, 0))), dtype=jnp.int32)
+    if is_sulcus:
+        cav_mask = jnp.asarray(np.pad(mesh.cell_domain == 1,
+                                      (0, Tp - T)))
+    else:
+        cav_mask = None
+    qwj = jnp.asarray(qw)
+    cell = (phi_c, detJ, cdofs, cav_mask, qwj, qw_f)
+
+    # baked u.n traces per facet set (shared across the batch); padded
+    un_tab = {}
+    if u is not None:
+        for name, fq in raw.items():
+            if fq is None:
+                continue
+            uq = fq.eval_vector(u.values, u.space)          # (F,Q,2)
+            un = np.einsum("fqa,fa->fq", np.asarray(uq),
+                           np.asarray(fq.normal))
+            Fp = quads[name].phi.shape[0]
+            un_tab[name] = jnp.asarray(
+                np.pad(un, ((0, Fp - un.shape[0]), (0, 0))))
+
+    # baked per-sample mu(x) quadrature tables (step-mu sweeps); padded
+    mu_tab = {}
+    if mu_profiles is not None:
+        names = ["bottom"] + (["bottom_left", "sulcus", "bottom_right"]
+                              if is_sulcus else [])
+        for name in names:
+            fq = raw.get(name)
+            if fq is None:
+                mu_tab[name] = None
+                continue
+            mt = np.stack(
+                [np.asarray(m(fq.x[:, :, 0]), dtype=np.float64)
+                 for m in mu_profiles])                    # (B,F,Q)
+            Fp = quads[name].phi.shape[0]
+            mu_tab[name] = jnp.asarray(
+                np.pad(mt, ((0, 0), (0, Fp - mt.shape[1]), (0, 0))))
+
+    tables = (quads, un_tab, mu_tab, cell)
+    prog = _metrics_program(_tables_struct(tables), is_sulcus)
+    D_default = float(D)
+
+    def fn(X, mu_vec, D_vec=None):
+        if D_vec is None:
+            D_vec = jnp.full(X.shape[0], D_default, dtype=jnp.float64)
+        return prog(tables, X, mu_vec, D_vec)
+
+    return SweepMetrics(fn=fn, space=space)
 def metrics_to_dicts(sm: SweepMetrics, mesh: MeshData, X, mu_values, D,
                      params_list, D_values=None):
     """Run the batched kernel and expand into the reference's metric dicts.

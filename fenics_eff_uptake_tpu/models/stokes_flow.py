@@ -128,7 +128,7 @@ def _saddle_program(key):
 
 
 def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
-                    chunk_iters=40, precision=None,
+                    chunk_iters=120, precision=None,
                     level_factors=(3.0, 9.0),
                     pin_outlet_pressure=False, pad_shapes=None):
     """Stokes via block-preconditioned MINRES (the production path).
