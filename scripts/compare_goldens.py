@@ -107,7 +107,12 @@ def compare_no_uptake(ours_dir, ref_root):
     ours = pd.read_csv(our_path)
     cols = ["Avg Concentration", "Mouth E_L1", "Mouth_Flux_Total",
             "Total Mass", "Concentration_Ratio"]
+    # flux columns: relative deltas are meaningless when the golden is
+    # itself absolute triangulation noise (net mouth flux ~0 by physics
+    # without uptake; E_L1 below mesh scale for sub-h sulci)
+    noise_floor = {"Mouth E_L1": 1e-2, "Mouth_Flux_Total": 1e-2}
     deltas = {c: [] for c in cols}
+    skipped = {c: 0 for c in cols}
     nmatch = 0
     for _, rr in ref.iterrows():
         if rr["Domain"] == "sulcus":
@@ -127,14 +132,19 @@ def compare_no_uptake(ours_dir, ref_root):
         for c in cols:
             if c in ref.columns and c in ours.columns and \
                     not pd.isna(rr[c]) and not pd.isna(so[c]):
+                if abs(rr[c]) < noise_floor.get(c, 0.0):
+                    skipped[c] += 1
+                    continue
                 deltas[c].append(abs(so[c] - rr[c])
                                  / max(abs(rr[c]), 1e-300))
     print(f"\n### No-uptake ({nmatch}/{len(ref)} rows matched, relative "
           "deltas vs FEniCS)\n")
     for c, ds in deltas.items():
         if ds:
+            extra = (f" ({skipped[c]} near-zero goldens excluded)"
+                     if skipped[c] else "")
             print(f"- {c}: median {np.median(ds):.3e}, "
-                  f"max {np.max(ds):.3e} over {len(ds)} rows")
+                  f"max {np.max(ds):.3e} over {len(ds)} rows{extra}")
 
 
 def compare_phase_a(ours_dir, ref_root):
