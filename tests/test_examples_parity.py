@@ -135,14 +135,15 @@ def test_no_uptake_artifact_vs_fenics_goldens():
         # averaged quantities match to ~3e-7 (measured); gate at 1e-5
         assert abs(so["Avg Concentration"] - rr["Avg Concentration"]) \
             / abs(rr["Avg Concentration"]) < 1e-5
-        if not pd.isna(rr["Mouth E_L1"]) and rr["Mouth E_L1"] > 1e-2:
-            # |flux| exchange metric on the curved mouth: the
-            # mesh-realisation floor for derivative quantities
-            # (measured max 2.9e-2).  Goldens below 1e-2 (sub-mesh-scale
-            # sulci, e.g. micro_square at 8e-4..2e-15) are absolute
-            # triangulation noise and carry no relative meaning.
+        if not pd.isna(rr["Mouth E_L1"]):
+            # |flux| exchange metric on the curved mouth.  Two floors:
+            # 5e-2 relative (measured mesh-realisation max 2.9e-2 on
+            # well-resolved mouths) OR 5e-3 absolute (measured ~2e-3
+            # triangulation noise on sub-mesh-scale mouths, e.g.
+            # micro_square/micro_width_deep whose goldens are 1e-15..
+            # 1.5e-2 with only ~2 cells across the mouth at h=0.02).
             assert abs(so["Mouth E_L1"] - rr["Mouth E_L1"]) \
-                / abs(rr["Mouth E_L1"]) < 5e-2
+                < max(5e-2 * abs(rr["Mouth E_L1"]), 5e-3)
     # round-2 artifact covers the 6-geometry golden subset (21 rows);
     # the full 23-geometry run raises this to 72
     assert matched >= 20
