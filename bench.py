@@ -120,7 +120,13 @@ def main():
         "assembled_dofs_per_s": (int(sys_t.ndofs / t_asm)
                                  if t_asm > 0 else None),
         "baseline_assumption_s_per_point": REF_SECONDS_PER_POINT,
+        "banded_operator": sys_t.Kband is not None,
     }
+    try:
+        from fenics_eff_uptake_tpu.solvers.multilevel import CACHE_STATS
+        meta["ml_transfer_cache"] = dict(CACHE_STATS)
+    except ImportError:
+        pass
     print(json.dumps({
         "metric": "assembly+solve wall-clock per sweep point "
                   "(20-mu batched sweep, ~1e5 P2 dofs)",

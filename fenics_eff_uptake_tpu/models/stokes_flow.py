@@ -44,13 +44,15 @@ def stokes_zero_fields(mesh: MeshData):
 _SADDLE_CACHE = {}
 
 
-def _pad_rect_args(B, ns_pad, np_pad, NB_pad):
+def _pad_rect_args(B, ns_pad, np_pad, NB_pad, iperm_v=None):
     """Shape-bucketed divergence-block arrays with their scatter plans.
 
     Padding entities carry zero matrices and scatter into the last
     (constrained) padded dof -- a no-op.  All index spaces are the
     PADDED ones, so the compiled saddle program is shared by every mesh
-    in the same bucket.
+    in the same bucket.  iperm_v: velocity-space old->new scalar-dof
+    map when the velocity system is RCM-renumbered (banded operator);
+    columns address the interleaved (2*dof+comp) layout.
     """
     Be = np.asarray(B.B_e)
     rd = np.asarray(B.row_dofs)
@@ -63,6 +65,8 @@ def _pad_rect_args(B, ns_pad, np_pad, NB_pad):
             [rd, np.full((NB_pad - NB, nr), np_pad - 1, rd.dtype)])
         cd = np.concatenate(
             [cd, np.full((NB_pad - NB, ncol), 2 * ns_pad - 1, cd.dtype)])
+    if iperm_v is not None:
+        cd = iperm_v[cd // 2] * 2 + cd % 2
     r_ids = rd.ravel()
     r_perm = np.argsort(r_ids, kind="stable")
     c_ids = cd.ravel()
@@ -157,10 +161,14 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
 
     dirichlet = [(MARKERS["left"], 0.0), (MARKERS["top"], 0.0),
                  (MARKERS["bottom"], 0.0)]
+    # the banded (RCM-renumbered) velocity operator is the f32 MINRES
+    # workhorse; the G lift, divergence columns, and output extraction
+    # are mapped through sysV.iperm into the renumbered space
     sysV = build_transport_system(mesh, element="P2", with_robin=False,
                                   dirichlet=dirichlet,
                                   pad_shapes=pad_shapes)
     ns_pad, ns_true = sysV.ndofs, sysV.space.ndofs
+    iperm_v = None if sysV.iperm is None else np.asarray(sysV.iperm)
     V, Q = taylor_hood_spaces(mesh)
     B = divergence_block(Q, V)
     Mp = mass_block(Q)
@@ -172,7 +180,8 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     Gn = np.zeros((ns_pad, 2))
     left = space.boundary_scalar_dofs(mesh.bc_marker == MARKERS["left"])
     yv = space.dof_coords[left][:, 1]
-    Gn[left, 0] = 4.0 * yv * (H - yv)
+    left_rows = left if iperm_v is None else iperm_v[left]
+    Gn[left_rows, 0] = 4.0 * yv * (H - yv)
     G = jnp.asarray(Gn)
 
     # lumped pressure mass inverse (padding tail: identity)
@@ -195,7 +204,7 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     mu2j = jnp.zeros(2)
     NB_pad = _bucket(B.B_e.shape[0], 4096) if ns_pad != ns_true \
         else B.B_e.shape[0]
-    Bargs64 = _pad_rect_args(B, ns_pad, np_pad, NB_pad)
+    Bargs64 = _pad_rect_args(B, ns_pad, np_pad, NB_pad, iperm_v=iperm_v)
     Bargs32 = (Bargs64[0].astype(jnp.float32),) + Bargs64[1:]
     a64 = operator_args(sysV, D2j, mu2j, None, f32=False)
     a32 = operator_args(sysV, D2j, mu2j, None, f32=True)
@@ -276,6 +285,9 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
 
     U0, p_pad = x
     U = G + U0
+    if iperm_v is not None:
+        # back to the FunctionSpace's scalar-dof numbering
+        U = U[jnp.asarray(iperm_v[:ns_true])]
     u_interleaved = np.asarray(U[:ns_true]).reshape(-1)
     p_out = np.asarray(p_pad[:np_true])
     u = Function(V, jnp.asarray(u_interleaved))

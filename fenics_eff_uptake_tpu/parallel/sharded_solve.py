@@ -161,7 +161,9 @@ def _cg_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
                                           ml_preconditioner_args)
         # mid/coarse levels replicated; fine level operator inside the
         # V-cycle reuses the cells-sharded apply
-        m_args_global = ml_preconditioner_args(ml, f32=f32)
+        # band=False: the fine level is cells-partitioned here; a
+        # replicated banded operator would cost full-system HBM/device
+        m_args_global = ml_preconditioner_args(ml, f32=f32, band=False)
 
         def M_apply(Kb, Advb, Rb, m_args, R):
             levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
@@ -241,12 +243,16 @@ def _cg_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
         # (B,)/( n,B)/(B,nc,nc) arrays which shard over "sweep"
         def _ml_spec(m_args):
             levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
+            def _blk_spec(b):
+                return type(b)(P(), P(), P(), P(),
+                               None if b.band is None else P())
+
             lev_specs = tuple(
-                type(la)(K=type(la.K)(*(P(),) * 4),
+                type(la)(K=_blk_spec(la.K),
                          Adv=None if la.Adv is None
-                         else type(la.Adv)(*(P(),) * 4),
+                         else _blk_spec(la.Adv),
                          R=None if la.R is None
-                         else type(la.R)(*(P(),) * 4),
+                         else _blk_spec(la.R),
                          R_batch=None if la.R_batch is None else P("sweep"),
                          free=P(), dinv=P(None, "sweep"),
                          t_cols=P(), t_w=P(), t_perm=P(), t_ids=P())
@@ -371,6 +377,7 @@ def sharded_solve_sweep(ss: ShardedSystem, D_values, mu_values,
         iters += chunk_iters
         rn = np.asarray(rn_dev)
         col_iters[active] = iters
-    Xout = jnp.moveaxis(X, 0, 1)[:, :sys.space.ndofs]
+    from ..parallel.sweep import unpermute_columns
+    Xout = unpermute_columns(sys, jnp.moveaxis(X, 0, 1))
     return Xout, {"iters": col_iters, "resnorm": rn,
                   "rel_resnorm": rn / np.where(bnorm > 0, bnorm, 1.0)}

@@ -145,6 +145,21 @@ class TransportSystem(NamedTuple):
     bc_values: jnp.ndarray
     ndofs: int
     space: "object"
+    # banded-dense (MXU) operator form (ops/banded.py); populated when
+    # the system is RCM-permuted.  perm = new2old, iperm = old2new.
+    Kband: Optional[jnp.ndarray] = None      # (T, R, W) f32
+    Advband: Optional[jnp.ndarray] = None
+    perm: Optional[np.ndarray] = None
+    iperm: Optional[np.ndarray] = None
+
+
+def unpermute_columns(sys: TransportSystem, Xcols):
+    """(B, ndofs) solution columns (system numbering) -> (B, n_true)
+    in the FunctionSpace's dof numbering."""
+    n_true = sys.space.ndofs
+    if sys.iperm is None:
+        return Xcols[:, :n_true]
+    return Xcols[:, jnp.asarray(sys.iperm[:n_true])]
 
 
 def _bucket(n, granularity=4096):
@@ -178,13 +193,59 @@ def _pad_block(b: _Block, n_entities, ndofs_padded, dummy_dof) -> _Block:
                   ndofs=ndofs_padded)
 
 
+def _permute_block(b: _Block, old2new: np.ndarray) -> _Block:
+    """Renumber a block's dofs (scatter plan rebuilt on host)."""
+    dofs = old2new[np.asarray(b.dofs, dtype=np.int64)]
+    ids = dofs.ravel()
+    perm = np.argsort(ids, kind="stable")
+    return _Block(A64=b.A64, A32=b.A32,
+                  dofs=jnp.asarray(dofs, dtype=jnp.int32),
+                  perm=jnp.asarray(perm, dtype=jnp.int32),
+                  ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
+                  ndofs=b.ndofs)
+
+
+# host-side permutation + scatter-plan bundles, cached per mesh/element
+# in mesh.info (value-independent, lifetime tied to the mesh; rebuilt
+# band ARRAYS are cheap device scatters)
+_BAND_TILE = 256
+
+
+def _band_plans_for(mesh, element, K: _Block, Adv, R, ndofs, n_true):
+    from ..ops.banded import build_band_plan, rcm_permutation
+    key = ("band_plan", element, ndofs, K.A64.shape[0],
+           None if Adv is None else Adv.A64.shape[0],
+           None if R is None else R.A64.shape[0], _BAND_TILE)
+    def _fresh(tmpl, blk):
+        # re-attach current VALUE arrays to the cached dof/scatter plan
+        # (Adv values change per velocity field on the same mesh)
+        if tmpl is None or blk is None:
+            return None
+        return tmpl._replace(A64=blk.A64, A32=blk.A32)
+
+    hit = mesh.info.get(key) if isinstance(mesh.info, dict) else None
+    if hit is not None:
+        new2old, old2new, Kp, Advp, Rp, plan_K = hit
+        return (new2old, old2new, _fresh(Kp, K), _fresh(Advp, Adv),
+                _fresh(Rp, R), plan_K)
+    new2old, old2new = rcm_permutation(np.asarray(K.dofs), n_true, ndofs)
+    Kp = _permute_block(K, old2new)
+    Advp = None if Adv is None else _permute_block(Adv, old2new)
+    Rp = None if R is None else _permute_block(R, old2new)
+    plan_K = build_band_plan(np.asarray(Kp.dofs), ndofs, tile=_BAND_TILE)
+    if isinstance(mesh.info, dict):
+        mesh.info[key] = (new2old, old2new, Kp, Advp, Rp, plan_K)
+    return (new2old, old2new, Kp, Advp, Rp, plan_K)
+
+
 def build_transport_system(mesh: MeshData, element="P2",
                            u_values=None, u_space=None,
                            robin_degree=None,
                            pad_shapes=None,
                            dirichlet=None,
                            with_robin=True,
-                           pad_granularity=None) -> TransportSystem:
+                           pad_granularity=None,
+                           band=None) -> TransportSystem:
     """Assemble the sweep system.  pad_shapes (default: on for TPU)
     buckets the cell/facet/dof counts so compiled kernels are shared
     across meshes of similar size.
@@ -234,9 +295,25 @@ def build_transport_system(mesh: MeshData, element="P2",
             [bc_values, jnp.zeros(pad, dtype=bc_values.dtype)])
         ndofs = ndofs_p
 
+    if band is None:
+        import os as _os
+        band = (pad_shapes and ndofs % _BAND_TILE == 0
+                and _os.environ.get("FEU_BAND", "1") == "1")
+    Kband = Advband = perm = iperm = None
+    if band and ndofs % _BAND_TILE == 0:
+        from ..ops.banded import band_from_elements
+        perm, iperm, K, Adv, R, plan_K = _band_plans_for(
+            mesh, element, K, Adv, R, ndofs, space.ndofs)
+        free = free[jnp.asarray(perm)]
+        bc_values = bc_values[jnp.asarray(perm)]
+        Kband = band_from_elements(K.A32, plan_K)
+        if Adv is not None:
+            Advband = band_from_elements(Adv.A32, plan_K)
+
     return TransportSystem(K=K, Adv=Adv, R=R, free=free,
                            bc_values=bc_values, ndofs=ndofs,
-                           space=space)
+                           space=space, Kband=Kband, Advband=Advband,
+                           perm=perm, iperm=iperm)
 
 
 def robin_matrices_for_mu(sys: TransportSystem, mu, degree=None):
@@ -443,21 +520,30 @@ _PROG_CACHE: Dict[tuple, tuple] = {}
 
 
 class _BlockArgs(NamedTuple):
-    """One element block's arrays, as runtime arguments."""
+    """One element block's arrays, as runtime arguments.
+
+    band: optional (T, R, W) banded-dense form (ops/banded.py); when
+    present the apply runs as batched MXU tile matmuls instead of
+    gather/einsum/scatter (the f32 Krylov hot path)."""
     A: jnp.ndarray
     dofs: jnp.ndarray
     perm: jnp.ndarray
     ids_sorted: jnp.ndarray
+    band: Optional[jnp.ndarray] = None
 
     @classmethod
-    def of(cls, b: _Block, f32: bool):
+    def of(cls, b: _Block, f32: bool, band=None):
         return cls(A=b.A32 if f32 else b.A64, dofs=b.dofs, perm=b.perm,
-                   ids_sorted=b.ids_sorted)
+                   ids_sorted=b.ids_sorted,
+                   band=band if f32 else None)
 
 
 def _args_block_apply(ba: _BlockArgs, ndofs: int, X, coef=None,
                       A_batch=None):
     """_Block.apply_batched with the arrays taken from arguments."""
+    if ba.band is not None and A_batch is None:
+        from ..ops.banded import band_apply
+        return band_apply(ba.band, X, coef=coef)
     blk = _Block(A64=ba.A, A32=ba.A, dofs=ba.dofs, perm=ba.perm,
                  ids_sorted=ba.ids_sorted, ndofs=ndofs)
     return blk.apply_batched(
@@ -470,15 +556,17 @@ def sys_struct_key(sys: TransportSystem):
     return (sys.ndofs,
             sys.K.A64.shape[0],
             None if sys.Adv is None else sys.Adv.A64.shape[0],
-            None if sys.R is None else sys.R.A64.shape[0])
+            None if sys.R is None else sys.R.A64.shape[0],
+            None if sys.Kband is None else tuple(sys.Kband.shape))
 
 
 def operator_args(sys: TransportSystem, D_vec, mu_vec, R_batch, f32: bool):
     """The runtime argument pytree for _operator_program's functions."""
     dt = jnp.float32 if f32 else jnp.float64
     return (
-        _BlockArgs.of(sys.K, f32),
-        None if sys.Adv is None else _BlockArgs.of(sys.Adv, f32),
+        _BlockArgs.of(sys.K, f32, band=sys.Kband),
+        None if sys.Adv is None else _BlockArgs.of(sys.Adv, f32,
+                                                   band=sys.Advband),
         None if sys.R is None else _BlockArgs.of(sys.R, f32),
         sys.free,
         D_vec.astype(dt),
@@ -983,10 +1071,10 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                 X = X + res.X.astype(jnp.float64)
                 total_iters += res.iters
         iters = total_iters
-    # strip shape-bucketing padding dofs (see build_transport_system)
+    # strip padding dofs + undo the band (RCM) renumbering
     bnorm_out = np.asarray(jnp.linalg.norm(RHS, axis=0))
     rel = np.asarray(resnorm) / np.where(bnorm_out > 0, bnorm_out, 1.0)
-    return (jnp.moveaxis(X, 0, 1)[:, :sys.space.ndofs],
+    return (unpermute_columns(sys, jnp.moveaxis(X, 0, 1)),
             {"iters": np.asarray(iters), "resnorm": np.asarray(resnorm),
              "rel_resnorm": rel})
 
@@ -1022,4 +1110,7 @@ def _solve_single(sys: TransportSystem, mu, rtol, maxiter):
     """Single-mu solve (used by __graft_entry__)."""
     solve_one = _solve_one_factory(sys, rtol, maxiter, "f64")
     D = _MU_D.get(id(sys), 1.0)
-    return solve_one(jnp.asarray(D, dtype=jnp.float64), mu, None)
+    x, iters, resnorm = solve_one(jnp.asarray(D, dtype=jnp.float64),
+                                  mu, None)
+    x = unpermute_columns(sys, x[None, :])[0]
+    return x, iters, resnorm

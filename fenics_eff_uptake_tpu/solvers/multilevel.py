@@ -107,43 +107,71 @@ def level_meshes_for(mesh, factors=(3.0, 9.0), cap=0.45):
     return out
 
 
+CACHE_STATS = {"hits": 0, "misses": 0}
+
+
 def _interp(fine_coords, coarse_mesh, free_fine, n_fine_out=None,
-            n_coarse_out=None):
+            n_coarse_out=None, coarse_old2new=None):
     """Barycentric transfer data (host). Same scheme as twolevel.py.
 
     n_fine_out / n_coarse_out: padded (shape-bucketed) sizes -- padding
     rows get zero weights, the restriction output is simply sized to the
-    padded coarse dof count (padding dofs are constrained there)."""
-    from ..analysis.profiles import PointLocator
-    from scipy.spatial import cKDTree
-    loc = PointLocator(coarse_mesh, k=12, tol=1e-8)
-    cells, ref = loc.locate(fine_coords)
-    bad = cells < 0
-    lam = np.concatenate([1 - ref.sum(1, keepdims=True), ref], axis=1)
-    lam = np.clip(lam, 0.0, 1.0)
-    lam /= np.maximum(lam.sum(1, keepdims=True), 1e-300)
-    cols = coarse_mesh.cells[np.where(bad, 0, cells)]
-    if bad.any():
-        tree = cKDTree(coarse_mesh.vertices)
-        _, nearest = tree.query(fine_coords[bad], workers=-1)
-        cols[bad] = np.stack([nearest] * 3, axis=1)
-        lam[bad] = np.array([1.0, 0.0, 0.0])
-    nf = len(fine_coords)
-    lam[~np.asarray(free_fine)[:nf]] = 0.0
-    if n_fine_out is not None and n_fine_out > nf:
-        cols = np.concatenate(
-            [cols, np.zeros((n_fine_out - nf, 3), cols.dtype)])
-        lam = np.concatenate(
-            [lam, np.zeros((n_fine_out - nf, 3))])
-    ids = cols.ravel()
-    perm = np.argsort(ids, kind="stable")
+    padded coarse dof count (padding dofs are constrained there).
+    coarse_old2new: when the coarse system is RCM-renumbered (banded
+    operator form), maps mesh-vertex dof ids into its numbering.
+
+    The point-location output is pure in its inputs and costs ~1-2 s of
+    host work per level at study size, so it is persisted across
+    processes (utils/diskcache.py, FFC-cache style)."""
+    from ..utils.diskcache import cache_key_of, cached_arrays
+
+    fine_coords = np.asarray(fine_coords)
+    free_np = np.asarray(free_fine)
+    o2n = None if coarse_old2new is None else np.asarray(coarse_old2new)
+    key = cache_key_of(fine_coords, coarse_mesh.vertices,
+                       coarse_mesh.cells, free_np, n_fine_out,
+                       n_coarse_out, o2n)
+
+    def _build():
+        from ..analysis.profiles import PointLocator
+        from scipy.spatial import cKDTree
+        loc = PointLocator(coarse_mesh, k=12, tol=1e-8)
+        cells, ref = loc.locate(fine_coords)
+        bad = cells < 0
+        lam = np.concatenate([1 - ref.sum(1, keepdims=True), ref], axis=1)
+        lam = np.clip(lam, 0.0, 1.0)
+        lam /= np.maximum(lam.sum(1, keepdims=True), 1e-300)
+        cols = coarse_mesh.cells[np.where(bad, 0, cells)]
+        if bad.any():
+            tree = cKDTree(coarse_mesh.vertices)
+            _, nearest = tree.query(fine_coords[bad], workers=-1)
+            cols[bad] = np.stack([nearest] * 3, axis=1)
+            lam[bad] = np.array([1.0, 0.0, 0.0])
+        nf = len(fine_coords)
+        lam[~free_np[:nf]] = 0.0
+        if n_fine_out is not None and n_fine_out > nf:
+            cols = np.concatenate(
+                [cols, np.zeros((n_fine_out - nf, 3), cols.dtype)])
+            lam = np.concatenate(
+                [lam, np.zeros((n_fine_out - nf, 3))])
+        if o2n is not None:
+            cols = o2n[cols]
+        ids = cols.ravel()
+        perm = np.argsort(ids, kind="stable")
+        return {"cols": cols.astype(np.int32),
+                "lam": lam.astype(np.float32),
+                "perm": perm.astype(np.int32),
+                "ids_sorted": ids[perm].astype(np.int32)}
+
+    data, hit = cached_arrays("mltransfer", key, _build)
+    CACHE_STATS["hits" if hit else "misses"] += 1
     n_coarse = (len(coarse_mesh.vertices) if n_coarse_out is None
                 else int(n_coarse_out))
     return _Transfer(
-        cols=jnp.asarray(cols, dtype=jnp.int32),
-        weights=jnp.asarray(lam, dtype=jnp.float32),
-        perm=jnp.asarray(perm, dtype=jnp.int32),
-        ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
+        cols=jnp.asarray(data["cols"], dtype=jnp.int32),
+        weights=jnp.asarray(data["lam"], dtype=jnp.float32),
+        perm=jnp.asarray(data["perm"], dtype=jnp.int32),
+        ids_sorted=jnp.asarray(data["ids_sorted"], dtype=jnp.int32),
         n_coarse=n_coarse)
 
 
@@ -174,6 +202,60 @@ def _level_diag(sys_l, D_vec, mu_vec, R_batch):
         else:
             diag = diag + sys_l.R.diagonal_batched(R_batch)
     return diag
+
+
+def _dinv_of(diag, free):
+    return jnp.where(free[:, None] & (diag != 0),
+                     1.0 / jnp.where(diag != 0, diag, 1.0),
+                     1.0).astype(jnp.float32)
+
+
+# structure-keyed jitted dinv: on the remote TPU runtime the eager
+# diagonal()/where chain above costs ~10 tunnel dispatches at the fine
+# level; this folds it into one compiled call with arrays as arguments
+_DINV_PROG_CACHE = {}
+
+
+def _fine_dinv(sys_l, D_vec, mu_vec, R_batch):
+    """One-dispatch (n, B) f32 inverse diagonal of the fine operator."""
+    key = (sys_l.ndofs, sys_l.K.A64.shape[0],
+           None if sys_l.Adv is None else sys_l.Adv.A64.shape[0],
+           None if sys_l.R is None else sys_l.R.A64.shape[0],
+           None if R_batch is None else tuple(R_batch.shape))
+    prog = _DINV_PROG_CACHE.get(key)
+    if prog is None:
+        ndofs = sys_l.ndofs
+
+        def diag_of(A, perm, ids):
+            de = jnp.diagonal(A, axis1=1, axis2=2)
+            return jax.ops.segment_sum(
+                de.reshape(-1)[perm], ids, num_segments=ndofs,
+                indices_are_sorted=True)
+
+        def f(K, Adv, R, Rb, free, D_vec, mu_vec):
+            d = D_vec[None, :] * diag_of(*K)[:, None]
+            if Adv is not None:
+                d = d + diag_of(*Adv)[:, None]
+            if R is not None:
+                if Rb is None:
+                    d = d + mu_vec[None, :] * diag_of(*R)[:, None]
+                else:
+                    de = jnp.diagonal(Rb, axis1=2, axis2=3)
+                    B = de.shape[0]
+                    de = jnp.moveaxis(de.reshape(B, -1), 0, 1)
+                    d = d + jax.ops.segment_sum(
+                        de[R[1]], R[2], num_segments=ndofs,
+                        indices_are_sorted=True)
+            return _dinv_of(d, free)
+
+        prog = jax.jit(f)
+        _DINV_PROG_CACHE[key] = prog
+
+    def args_of(b):
+        return None if b is None else (b.A64, b.perm, b.ids_sorted)
+
+    return prog(args_of(sys_l.K), args_of(sys_l.Adv), args_of(sys_l.R),
+                R_batch, sys_l.free, D_vec, mu_vec)
 
 
 def build_multilevel(sys, level_meshes, D_values, mu_values=None,
@@ -233,11 +315,9 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
                 m, element="P1", pad_shapes=pad_levels,
                 pad_granularity=level_gran[i], dirichlet=dirichlet,
                 with_robin=with_robin, **kw))
-    if cpu0 is not None and jax.default_backend() != "cpu":
-        lsys = [_system_to_default_device(s) for s in lsys]
-
     def _pad_Rb(Rb, blk):
-        """Pad per-sample Robin matrices to a block's padded facet count."""
+        """Pad per-sample Robin matrices to a block's padded facet count
+        (kept as host numpy until consumed)."""
         if Rb is None or blk is None:
             return Rb
         Rb = np.asarray(Rb)
@@ -246,47 +326,68 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
             Rb = np.concatenate(
                 [Rb, np.zeros((Rb.shape[0], padF) + Rb.shape[2:],
                               Rb.dtype)], axis=1)
-        return jnp.asarray(Rb)
+        return Rb
 
     R_batches = [_pad_Rb(R_batches[i], lsys[i].R)
                  for i in range(n_levels)]
     robin_matrices_fine = _pad_Rb(robin_matrices_fine, sys.R)
 
+    # mid-level inverse diagonals: computed on the CPU copies BEFORE
+    # shipping (each _level_diag is ~10 eager dispatches -- milliseconds
+    # on host, ~seconds of tunnel latency on the remote TPU runtime)
+    mid_dinv = []
+    with ctx:
+        for i in range(n_levels - 1):
+            Rb_i = (None if R_batches[i] is None
+                    else jnp.asarray(R_batches[i]))
+            d = _level_diag(lsys[i], D_vec, mu_vec, Rb_i)
+            mid_dinv.append(np.asarray(_dinv_of(d, lsys[i].free)))
+    lsys_cpu = lsys
+    if cpu0 is not None and jax.default_backend() != "cpu":
+        lsys = [_system_to_default_device(s) for s in lsys]
+
     # transfers: fine(sys) -> mesh0, mesh0 -> mesh1, ... (all at padded
-    # sizes so the compiled V-cycle is geometry-independent per bucket)
+    # sizes so the compiled V-cycle is geometry-independent per bucket).
+    # Rows follow each level's own (possibly RCM-renumbered) dof order;
+    # columns are mapped into the next level's numbering.
+    def _coords_of(s, mesh_vertices=None):
+        c = (np.asarray(s.space.dof_coords) if mesh_vertices is None
+             else np.asarray(mesh_vertices))
+        if s.perm is not None:
+            c = c[np.asarray(s.perm)[:len(c)]]
+        return c
+
     transfers = []
     free_fine = np.asarray(sys.free)
-    transfers.append(_interp(sys.space.dof_coords, level_meshes[0],
+    transfers.append(_interp(_coords_of(sys), level_meshes[0],
                              free_fine, n_fine_out=sys.ndofs,
-                             n_coarse_out=lsys[0].ndofs))
+                             n_coarse_out=lsys[0].ndofs,
+                             coarse_old2new=lsys[0].iperm))
     for i in range(n_levels - 1):
-        transfers.append(_interp(level_meshes[i].vertices,
-                                 level_meshes[i + 1],
-                                 np.asarray(lsys[i].free),
-                                 n_fine_out=lsys[i].ndofs,
-                                 n_coarse_out=lsys[i + 1].ndofs))
+        transfers.append(_interp(
+            _coords_of(lsys[i], level_meshes[i].vertices),
+            level_meshes[i + 1],
+            np.asarray(lsys[i].free),
+            n_fine_out=lsys[i].ndofs,
+            n_coarse_out=lsys[i + 1].ndofs,
+            coarse_old2new=lsys[i + 1].iperm))
 
     # levels: fine + all mids (the coarsest is the dense solve, no smooth)
     levels = []
-    fine_diag = _level_diag(sys, D_vec, mu_vec, robin_matrices_fine)
-    fine_dinv = jnp.where(
-        sys.free[:, None] & (fine_diag != 0),
-        1.0 / jnp.where(fine_diag != 0, fine_diag, 1.0),
-        1.0).astype(jnp.float32)
+    rbf_dev = (None if robin_matrices_fine is None
+               else jnp.asarray(robin_matrices_fine))
+    fine_dinv = _fine_dinv(sys, D_vec, mu_vec, rbf_dev)
     levels.append(_Level(sys=sys, dinv=fine_dinv, free=sys.free,
                          transfer=transfers[0]))
     for i in range(n_levels - 1):
-        d = _level_diag(lsys[i], D_vec, mu_vec, R_batches[i])
-        dinv = jnp.where(
-            lsys[i].free[:, None] & (d != 0),
-            1.0 / jnp.where(d != 0, d, 1.0), 1.0).astype(jnp.float32)
-        levels.append(_Level(sys=lsys[i], dinv=dinv, free=lsys[i].free,
+        levels.append(_Level(sys=lsys[i], dinv=jnp.asarray(mid_dinv[i]),
+                             free=lsys[i].free,
                              transfer=transfers[i + 1]))
 
     # coarsest: per-sample dense inverses on HOST (tiny: ~nc^2 per sample;
     # on-device factorisations lower to pathologically slow sequential
     # kernels under this TPU runtime -- same finding as twolevel.py)
-    csys = lsys[-1]
+    csys = lsys_cpu[-1]
     nc = csys.ndofs
     import numpy as _np
 
@@ -455,23 +556,31 @@ def _ml_program(struct_key):
     return apply
 
 
-def ml_preconditioner_args(ml: MultilevelData, f32=True):
-    """The runtime argument pytree for the cached V-cycle program."""
+def ml_preconditioner_args(ml: MultilevelData, f32=True, band=True):
+    """The runtime argument pytree for the cached V-cycle program.
+
+    band=False drops the banded operator arrays (sharded path: the
+    fine level is cells-partitioned there and a replicated band would
+    cost full-system HBM per device)."""
     from ..parallel.sweep import _BlockArgs
     dt = _ml_dtype(f32)
     levels = []
     for i, lev in enumerate(ml.levels):
         s = lev.sys
         Rb = ml.R_batches[i]
-        def _ba(blk):
-            ba = _BlockArgs.of(blk, f32)
+        if not band:
+            s = s._replace(Kband=None, Advband=None)
+        def _ba(blk, band=None):
+            ba = _BlockArgs.of(blk, f32, band=band)
             if dt == jnp.bfloat16:
                 ba = ba._replace(A=ba.A.astype(dt))
+                if ba.band is not None:
+                    ba = ba._replace(band=ba.band.astype(dt))
             return ba
 
         levels.append(_LevelArgs(
-            K=_ba(s.K),
-            Adv=None if s.Adv is None else _ba(s.Adv),
+            K=_ba(s.K, band=s.Kband),
+            Adv=None if s.Adv is None else _ba(s.Adv, band=s.Advband),
             R=None if s.R is None else _ba(s.R),
             R_batch=None if Rb is None else jnp.asarray(Rb).astype(dt),
             free=lev.free,

@@ -201,7 +201,10 @@ def build_twolevel(sys, coarse_mesh, D_values, mu_values=None,
         Ainv = jnp.asarray(np.stack(Ainvs))               # (B, nc, nc) f32
 
     # interpolation from coarse P1 vertices to fine scalar dofs
-    fine_coords = sys.space.dof_coords
+    # (rows follow the fine system's dof order, incl. RCM renumbering)
+    fine_coords = np.asarray(sys.space.dof_coords)
+    if sys.perm is not None:
+        fine_coords = fine_coords[np.asarray(sys.perm)[:len(fine_coords)]]
     n_true = len(fine_coords)
     cols, lam = _interpolation(fine_coords, coarse_mesh,
                                np.asarray(sys.free)[:n_true])
