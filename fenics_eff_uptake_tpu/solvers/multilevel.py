@@ -477,13 +477,22 @@ def _ml_dtype(f32):
     return jnp.float32
 
 
+def _ml_smooth_steps():
+    """V(nu,nu) smoothing count (FEU_ML_SMOOTH, default 1).  With the
+    banded fine-level apply the marginal smoothing step is cheap; more
+    steps trade apply count for CG iterations."""
+    import os
+    return max(1, int(os.environ.get("FEU_ML_SMOOTH", "1")))
+
+
 def _ml_struct_key(ml: MultilevelData, f32: bool):
     from ..parallel.sweep import sys_struct_key
     lv = tuple(
         (sys_struct_key(lev.sys), lev.transfer.n_coarse,
          ml.R_batches[i] is not None)
         for i, lev in enumerate(ml.levels))
-    return (lv, int(ml.Ainv.shape[1]), str(_ml_dtype(f32)))
+    return (lv, int(ml.Ainv.shape[1]), str(_ml_dtype(f32)),
+            _ml_smooth_steps())
 
 
 def _ml_program(struct_key):
@@ -491,7 +500,7 @@ def _ml_program(struct_key):
     if hit is not None:
         return hit
     from ..parallel.sweep import _args_block_apply
-    level_structs, nc, _dt_tag = struct_key
+    level_structs, nc, _dt_tag, n_smooth = struct_key
     n_mid = len(level_structs)
     ndofs_l = [s[0][0] for s in level_structs]
     ncoarse_l = [s[1] for s in level_structs]
@@ -529,7 +538,10 @@ def _ml_program(struct_key):
 
     def vcycle(l, r, levels, free_c, Ainv, D_vec, mu_vec, omega):
         la = levels[l]
-        x = omega * la.dinv * r
+        x = omega * la.dinv * r                 # first step from zero
+        for _ in range(n_smooth - 1):
+            x = x + omega * la.dinv * (r - A_masked(l, la, x, D_vec,
+                                                    mu_vec))
         res = r - A_masked(l, la, x, D_vec, mu_vec)
         rc = restrict(la, res, ncoarse_l[l])
         if l + 1 < n_mid:
@@ -543,7 +555,9 @@ def _ml_program(struct_key):
             xc = jnp.moveaxis(xc_b[..., 0], 0, 1)
         x = x + prolong(la, xc)
         # mirrored post-smooth keeps M symmetric (CG-safe)
-        x = x + omega * la.dinv * (r - A_masked(l, la, x, D_vec, mu_vec))
+        for _ in range(n_smooth):
+            x = x + omega * la.dinv * (r - A_masked(l, la, x, D_vec,
+                                                    mu_vec))
         return x
 
     def apply(m_args, R):
