@@ -198,3 +198,24 @@ def test_band_apply_unit():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(Y[:3, 1]), [0.0, 12.0, 16.0],
                                rtol=1e-6)
+
+
+def test_diskcache_roundtrip(tmp_path, monkeypatch):
+    from fenics_eff_uptake_tpu.utils import diskcache as dc
+    monkeypatch.setenv("FEU_CACHE_DIR", str(tmp_path))
+    key = dc.cache_key_of(np.arange(5), "tag", None, 3.5)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"a": np.eye(3), "n": 7}
+
+    out1, hit1 = dc.cached_arrays("t", key, build)
+    out2, hit2 = dc.cached_arrays("t", key, build)
+    assert not hit1 and hit2 and len(calls) == 1
+    np.testing.assert_array_equal(out2["a"], np.eye(3))
+    assert out2["n"] == 7
+    # disabled cache -> always a miss, no files
+    monkeypatch.setenv("FEU_DISK_CACHE", "0")
+    _, hit3 = dc.cached_arrays("t", key, build)
+    assert not hit3 and len(calls) == 2
