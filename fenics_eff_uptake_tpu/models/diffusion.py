@@ -147,7 +147,8 @@ def _gmres_transport_solve(sys_t, D, mu, rtol, maxiter) -> Function:
     res = gmres(lambda x: A_fn(a, x[:, None])[:, 0], rhs,
                 M=lambda r: dinv * r, rtol=rtol, restart=60,
                 maxiter=maxiter)
-    vals = res.x[:sys_t.space.ndofs]
+    from ..parallel.sweep import unpermute_columns
+    vals = unpermute_columns(sys_t, res.x[None, :])[0]
     vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
     vals = _clamp_tiny_negative(vals)
     fn = Function(sys_t.space, vals)
