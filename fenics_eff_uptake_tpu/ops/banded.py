@@ -122,23 +122,39 @@ def band_from_elements(A_e, plan: BandPlan, dtype=jnp.float32):
 
 
 def band_apply(band, X, coef=None):
-    """Y = A @ X via batched dense tile matmuls.
+    """Y = A @ X via shifted batched dense tile matmuls.
 
     band: (T, R, W) with W = (2*halo+1)*R; X: (T*R, B).
     coef: optional (B,) per-column scaling fused into the output.
+
+    Formulated as (2*halo+1) batched (R, R) @ (R, B) matmuls over
+    tile-shifted copies of X rather than one (T, W, B) window gather:
+    the shifted operands are contiguous pad+slice copies, nothing
+    larger than X itself is materialised (the windowed form faulted
+    the remote TPU compiler inside large fused solver programs).
     """
     T, R, W = band.shape
     halo = (W // R - 1) // 2
     n, B = X.shape
-    Xt = X.reshape(T, R, B)
-    pad = jnp.zeros((halo, R, B), X.dtype)
-    Xp = jnp.concatenate([pad, Xt, pad], axis=0)   # (T + 2*halo, R, B)
-    wins = jnp.concatenate(
-        [jax.lax.slice_in_dim(Xp, s, s + T, axis=0)
-         for s in range(2 * halo + 1)], axis=1)    # (T, W, B)
-    Y = jnp.einsum("trw,twb->trb", band.astype(X.dtype), wins,
-                   precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=X.dtype)
+    Xt = X.reshape(T, R, B).astype(band.dtype)
+    Y = None
+    for k in range(2 * halo + 1):
+        bk = jax.lax.slice_in_dim(band, k * R, (k + 1) * R,
+                                  axis=2)                    # (T, R, R)
+        s = k - halo
+        if s < 0:
+            Xs = jnp.concatenate(
+                [jnp.zeros((-s, R, B), Xt.dtype), Xt[:T + s]], axis=0)
+        elif s > 0:
+            Xs = jnp.concatenate(
+                [Xt[s:], jnp.zeros((s, R, B), Xt.dtype)], axis=0)
+        else:
+            Xs = Xt
+        Yk = jnp.einsum("trw,twb->trb", bk, Xs,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=Xt.dtype)
+        Y = Yk if Y is None else Y + Yk
+    Y = Y.astype(X.dtype)
     if coef is not None:
         Y = Y * coef.astype(X.dtype)[None, None, :]
     return Y.reshape(n, B)

@@ -275,6 +275,18 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
     """
     from ..parallel.sweep import build_transport_system
 
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("FEU_TIMING") == "1"
+    _t = [_time.time()]
+
+    def _tick(stage):
+        if _dbg:
+            now = _time.time()
+            print(f"    [ml-setup] {stage}: {now - _t[0]:.2f}s",
+                  flush=True)
+            _t[0] = now
+
     D_vec = jnp.asarray(np.asarray(D_values, dtype=np.float64))
     B = int(D_vec.shape[0])
     mu_vec = (jnp.zeros(B) if mu_values is None
@@ -315,6 +327,8 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
                 m, element="P1", pad_shapes=pad_levels,
                 pad_granularity=level_gran[i], dirichlet=dirichlet,
                 with_robin=with_robin, **kw))
+    _tick('level systems (host)')
+
     def _pad_Rb(Rb, blk):
         """Pad per-sample Robin matrices to a block's padded facet count
         (kept as host numpy until consumed)."""
@@ -332,6 +346,7 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
                  for i in range(n_levels)]
     robin_matrices_fine = _pad_Rb(robin_matrices_fine, sys.R)
 
+    _tick('pad Robin')
     # mid-level inverse diagonals: computed on the CPU copies BEFORE
     # shipping (each _level_diag is ~10 eager dispatches -- milliseconds
     # on host, ~seconds of tunnel latency on the remote TPU runtime)
@@ -342,6 +357,7 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
                     else jnp.asarray(R_batches[i]))
             d = _level_diag(lsys[i], D_vec, mu_vec, Rb_i)
             mid_dinv.append(np.asarray(_dinv_of(d, lsys[i].free)))
+    _tick('mid diagonals (host)')
     lsys_cpu = lsys
     if cpu0 is not None and jax.default_backend() != "cpu":
         lsys = [_system_to_default_device(s) for s in lsys]
@@ -357,6 +373,7 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
             c = c[np.asarray(s.perm)[:len(c)]]
         return c
 
+    _tick('ship levels to device')
     transfers = []
     free_fine = np.asarray(sys.free)
     transfers.append(_interp(_coords_of(sys), level_meshes[0],
@@ -372,6 +389,7 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
             n_coarse_out=lsys[i + 1].ndofs,
             coarse_old2new=lsys[i + 1].iperm))
 
+    _tick('transfers (host, cached)')
     # levels: fine + all mids (the coarsest is the dense solve, no smooth)
     levels = []
     rbf_dev = (None if robin_matrices_fine is None
@@ -387,6 +405,7 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
     # coarsest: per-sample dense inverses on HOST (tiny: ~nc^2 per sample;
     # on-device factorisations lower to pathologically slow sequential
     # kernels under this TPU runtime -- same finding as twolevel.py)
+    _tick('fine dinv + level structs')
     csys = lsys_cpu[-1]
     nc = csys.ndofs
     import numpy as _np
@@ -435,8 +454,12 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
                 A = A + mu_np[b] * R_c
         A = A + 1e-6 * _np.abs(_np.diag(A)).mean() * _np.eye(nc)
         Ainvs.append(_np.linalg.inv(A.astype(_np.float32)))
+    _tick('coarse dense build+inverses (host)')
     Ainv = jnp.asarray(_np.stack(Ainvs))
 
+    if _dbg:
+        jax.block_until_ready(Ainv)
+        _tick('Ainv upload')
     return MultilevelData(levels=tuple(levels), Ainv=Ainv,
                           free_c=jnp.asarray(free_c),
                           omega=float(omega), D_vec=D_vec, mu_vec=mu_vec,
@@ -667,5 +690,11 @@ def make_ml_preconditioner(ml: MultilevelData, f32=True):
     fn is cached by structure so Krylov chunks compile once per shape
     bucket and are reused across mu batches, meshes, and studies.
     """
+    # Banded applies inside the V-cycle program fault the remote TPU
+    # compiler/worker at study scale (the banded CG *operator* is fine;
+    # bisected round 2).  Element-path V-cycle by default; FEU_ML_BAND=1
+    # re-enables banding in M once the runtime stabilises.
+    import os
+    band = os.environ.get("FEU_ML_BAND", "0") == "1"
     apply = _ml_program(_ml_struct_key(ml, f32))
-    return (apply, ml_preconditioner_args(ml, f32=f32))
+    return (apply, ml_preconditioner_args(ml, f32=f32, band=band))
