@@ -238,6 +238,77 @@ def _band_plans_for(mesh, element, K: _Block, Adv, R, ndofs, n_true):
     return (new2old, old2new, Kp, Advp, Rp, plan_K)
 
 
+def _system_cache_key(mesh, element, u_values, u_space, robin_degree,
+                      pad_shapes, dirichlet, with_robin, pad_granularity,
+                      band):
+    """Content key for the assembled-system disk cache, or None when an
+    input can't be hashed deterministically (callable dirichlet)."""
+    if dirichlet is None:
+        bc_part = "default"
+    else:
+        try:
+            bc_part = repr([(int(m), float(v)) for m, v in dirichlet])
+        except (TypeError, ValueError):
+            return None
+    from ..utils.diskcache import cache_key_of
+    import os as _os
+    return cache_key_of(
+        "tsys-v1", np.asarray(mesh.vertices), np.asarray(mesh.cells),
+        np.asarray(mesh.bc_marker), element,
+        None if u_values is None else np.asarray(u_values),
+        None if u_space is None else (u_space.element, u_space.vs),
+        robin_degree, bool(pad_shapes), bc_part, bool(with_robin),
+        pad_granularity, band, _BAND_TILE,
+        _os.environ.get("FEU_BAND", "1"))
+
+
+def _system_to_arrays(sys: TransportSystem):
+    out = {"ndofs": int(sys.ndofs),
+           "free": np.asarray(sys.free),
+           "bc_values": np.asarray(sys.bc_values)}
+    for name in ("K", "Adv", "R"):
+        b = getattr(sys, name)
+        if b is None:
+            continue
+        out[f"{name}_A64"] = np.asarray(b.A64)
+        out[f"{name}_dofs"] = np.asarray(b.dofs)
+        out[f"{name}_perm"] = np.asarray(b.perm)
+        out[f"{name}_ids"] = np.asarray(b.ids_sorted)
+        out[f"{name}_ndofs"] = int(b.ndofs)
+    for name in ("Kband", "Advband", "perm", "iperm"):
+        v = getattr(sys, name)
+        if v is not None:
+            out[name] = np.asarray(v)
+    return out
+
+
+def _system_from_arrays(d, mesh, element):
+    space = FunctionSpace(mesh, element)
+
+    def block(name):
+        if f"{name}_A64" not in d:
+            return None
+        A64 = jnp.asarray(d[f"{name}_A64"])
+        return _Block(A64=A64, A32=A64.astype(jnp.float32),
+                      dofs=jnp.asarray(d[f"{name}_dofs"]),
+                      perm=jnp.asarray(d[f"{name}_perm"]),
+                      ids_sorted=jnp.asarray(d[f"{name}_ids"]),
+                      ndofs=int(d[f"{name}_ndofs"]))
+
+    def opt(name, as_np=False):
+        v = d.get(name)
+        if v is None:
+            return None
+        return v if as_np else jnp.asarray(v)
+
+    return TransportSystem(
+        K=block("K"), Adv=block("Adv"), R=block("R"),
+        free=jnp.asarray(d["free"]),
+        bc_values=jnp.asarray(d["bc_values"]), ndofs=int(d["ndofs"]),
+        space=space, Kband=opt("Kband"), Advband=opt("Advband"),
+        perm=opt("perm", as_np=True), iperm=opt("iperm", as_np=True))
+
+
 def build_transport_system(mesh: MeshData, element="P2",
                            u_values=None, u_space=None,
                            robin_degree=None,
@@ -245,7 +316,8 @@ def build_transport_system(mesh: MeshData, element="P2",
                            dirichlet=None,
                            with_robin=True,
                            pad_granularity=None,
-                           band=None) -> TransportSystem:
+                           band=None,
+                           disk_cache=False) -> TransportSystem:
     """Assemble the sweep system.  pad_shapes (default: on for TPU)
     buckets the cell/facet/dof counts so compiled kernels are shared
     across meshes of similar size.
@@ -259,6 +331,16 @@ def build_transport_system(mesh: MeshData, element="P2",
     level systems use finer buckets."""
     if pad_shapes is None:
         pad_shapes = jax.default_backend() == "tpu"
+    ck = None
+    if disk_cache:
+        ck = _system_cache_key(mesh, element, u_values, u_space,
+                               robin_degree, pad_shapes, dirichlet,
+                               with_robin, pad_granularity, band)
+        if ck is not None:
+            from ..utils.diskcache import load_arrays
+            hit = load_arrays("tsys", ck)
+            if hit is not None:
+                return _system_from_arrays(hit, mesh, element)
     space = FunctionSpace(mesh, element)
     K = _from_element_block(stiffness_block(space, D=1.0))
     Adv = None
@@ -310,10 +392,14 @@ def build_transport_system(mesh: MeshData, element="P2",
         if Adv is not None:
             Advband = band_from_elements(Adv.A32, plan_K)
 
-    return TransportSystem(K=K, Adv=Adv, R=R, free=free,
-                           bc_values=bc_values, ndofs=ndofs,
-                           space=space, Kband=Kband, Advband=Advband,
-                           perm=perm, iperm=iperm)
+    out = TransportSystem(K=K, Adv=Adv, R=R, free=free,
+                          bc_values=bc_values, ndofs=ndofs,
+                          space=space, Kband=Kband, Advband=Advband,
+                          perm=perm, iperm=iperm)
+    if ck is not None:
+        from ..utils.diskcache import store_arrays
+        store_arrays("tsys", ck, _system_to_arrays(out))
+    return out
 
 
 def robin_matrices_for_mu(sys: TransportSystem, mu, degree=None):

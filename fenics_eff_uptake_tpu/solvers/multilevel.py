@@ -167,47 +167,101 @@ def _interp(fine_coords, coarse_mesh, free_fine, n_fine_out=None,
     CACHE_STATS["hits" if hit else "misses"] += 1
     n_coarse = (len(coarse_mesh.vertices) if n_coarse_out is None
                 else int(n_coarse_out))
+    # host numpy leaves: the caller ships all transfers together with
+    # the level systems in one device_put (_ship_to_default_device)
     return _Transfer(
-        cols=jnp.asarray(data["cols"], dtype=jnp.int32),
-        weights=jnp.asarray(data["lam"], dtype=jnp.float32),
-        perm=jnp.asarray(data["perm"], dtype=jnp.int32),
-        ids_sorted=jnp.asarray(data["ids_sorted"], dtype=jnp.int32),
+        cols=np.asarray(data["cols"], dtype=np.int32),
+        weights=np.asarray(data["lam"], dtype=np.float32),
+        perm=np.asarray(data["perm"], dtype=np.int32),
+        ids_sorted=np.asarray(data["ids_sorted"], dtype=np.int32),
         n_coarse=n_coarse)
 
 
-def _system_to_default_device(sys_l):
-    """Ship a (CPU-assembled) TransportSystem's arrays to the default
-    device, uncommitted -- NamedTuple-aware deep map."""
-    def mv(x):
-        if isinstance(x, jnp.ndarray):
-            return jnp.asarray(np.asarray(x))
-        return x
+def _ship_to_default_device(tree):
+    """Ship every non-float64 array leaf of a nested structure
+    (NamedTuples / lists / tuples / arrays / None) to the default
+    device, uncommitted.
 
-    def map_nt(nt):
+    ALL leaves go through ONE jax.device_put call: through the axon
+    tunnel each individual transfer pays ~0.05-0.1 s of latency, and the
+    full MG payload (level systems + transfers + diagonals + Robin
+    batches) is ~50 small arrays (measured 1.6 s shipped one-by-one vs
+    ~0.3 s batched for the level systems alone).
+
+    float64 leaves (A64 element arrays, dof_coords, quadrature data) are
+    NOT shipped: the accelerator V-cycle consumes only the f32/bf16
+    views + int/bool structure, and the f64 copies are half the bytes
+    through a ~10 MB/s tunnel.  They stay as host numpy arrays inside
+    the returned structure; any (unexpected) device use auto-transfers."""
+    leaves = []
+
+    def collect(nt):
         if hasattr(nt, "_fields"):
-            return type(nt)(*[map_nt(getattr(nt, f)) for f in nt._fields])
-        return mv(nt)
+            return [collect(getattr(nt, f)) for f in nt._fields]
+        if isinstance(nt, (list, tuple)):
+            return [collect(x) for x in nt]
+        if isinstance(nt, (jnp.ndarray, np.ndarray)):
+            arr = np.asarray(nt)
+            if arr.dtype == np.float64:
+                return arr
+            leaves.append(arr)
+            return len(leaves) - 1
+        return nt
 
-    return map_nt(sys_l)
+    struct = collect(tree)
+    shipped = jax.device_put(leaves) if leaves else []
 
+    def rebuild(nt, tmpl):
+        if hasattr(tmpl, "_fields"):
+            return type(tmpl)(*[rebuild(s, getattr(tmpl, f))
+                                for s, f in zip(nt, tmpl._fields)])
+        if isinstance(tmpl, (list, tuple)):
+            return type(tmpl)(rebuild(s, x) for s, x in zip(nt, tmpl))
+        if isinstance(nt, int) and isinstance(tmpl,
+                                              (jnp.ndarray, np.ndarray)):
+            return shipped[nt]
+        return nt
 
-def _level_diag(sys_l, D_vec, mu_vec, R_batch):
-    """(n_l, B) f64 operator diagonal with per-column coefficients."""
-    diag = D_vec[None, :] * sys_l.K.diagonal()[:, None]
-    if sys_l.Adv is not None:
-        diag = diag + sys_l.Adv.diagonal()[:, None]
-    if sys_l.R is not None:
-        if R_batch is None:
-            diag = diag + mu_vec[None, :] * sys_l.R.diagonal()[:, None]
-        else:
-            diag = diag + sys_l.R.diagonal_batched(R_batch)
-    return diag
+    return rebuild(struct, tree)
 
 
 def _dinv_of(diag, free):
     return jnp.where(free[:, None] & (diag != 0),
                      1.0 / jnp.where(diag != 0, diag, 1.0),
                      1.0).astype(jnp.float32)
+
+
+def _level_dinv_np(sys_l, D_vec, mu_vec, R_batch):
+    """Pure-numpy (n_l, B) f32 inverse diagonal for a (host) mid level.
+
+    Equivalent to _level_diag + _dinv_of but with zero jax dispatches:
+    the mid levels are tiny and this runs once per setup, where eager
+    CPU dispatch/compile-cache latency (~0.5 s/process) dominated."""
+    def seg_diag(b, Ae):
+        de = np.diagonal(np.asarray(Ae), axis1=-2, axis2=-1)
+        if de.ndim == 3:                       # (B, N, nd) per-sample
+            de = np.moveaxis(de.reshape(de.shape[0], -1), 0, 1)
+        else:
+            de = de.reshape(-1)
+        de = de[np.asarray(b.perm)]
+        out = np.zeros((b.ndofs,) + de.shape[1:])
+        np.add.at(out, np.asarray(b.ids_sorted), de)
+        return out
+
+    D = np.asarray(D_vec)
+    mu = np.asarray(mu_vec)
+    d = D[None, :] * seg_diag(sys_l.K, sys_l.K.A64)[:, None]
+    if sys_l.Adv is not None:
+        d = d + seg_diag(sys_l.Adv, sys_l.Adv.A64)[:, None]
+    if sys_l.R is not None:
+        if R_batch is None:
+            d = d + mu[None, :] * seg_diag(sys_l.R, sys_l.R.A64)[:, None]
+        else:
+            d = d + seg_diag(sys_l.R, R_batch)
+    free = np.asarray(sys_l.free)
+    ok = free[:, None] & (d != 0)
+    return np.where(ok, 1.0 / np.where(d != 0, d, 1.0),
+                    1.0).astype(np.float32)
 
 
 # structure-keyed jitted dinv: on the remote TPU runtime the eager
@@ -326,8 +380,8 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
             lsys.append(build_transport_system(
                 m, element="P1", pad_shapes=pad_levels,
                 pad_granularity=level_gran[i], dirichlet=dirichlet,
-                with_robin=with_robin, **kw))
-    _tick('level systems (host)')
+                with_robin=with_robin, disk_cache=True, **kw))
+    _tick('level systems (host, cached)')
 
     def _pad_Rb(Rb, blk):
         """Pad per-sample Robin matrices to a block's padded facet count
@@ -351,21 +405,17 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
     # shipping (each _level_diag is ~10 eager dispatches -- milliseconds
     # on host, ~seconds of tunnel latency on the remote TPU runtime)
     mid_dinv = []
-    with ctx:
-        for i in range(n_levels - 1):
-            Rb_i = (None if R_batches[i] is None
-                    else jnp.asarray(R_batches[i]))
-            d = _level_diag(lsys[i], D_vec, mu_vec, Rb_i)
-            mid_dinv.append(np.asarray(_dinv_of(d, lsys[i].free)))
-    _tick('mid diagonals (host)')
+    for i in range(n_levels - 1):
+        mid_dinv.append(_level_dinv_np(lsys[i], D_vec, mu_vec,
+                                       R_batches[i]))
+    _tick('mid diagonals (host numpy)')
     lsys_cpu = lsys
-    if cpu0 is not None and jax.default_backend() != "cpu":
-        lsys = [_system_to_default_device(s) for s in lsys]
 
     # transfers: fine(sys) -> mesh0, mesh0 -> mesh1, ... (all at padded
     # sizes so the compiled V-cycle is geometry-independent per bucket).
     # Rows follow each level's own (possibly RCM-renumbered) dof order;
-    # columns are mapped into the next level's numbering.
+    # columns are mapped into the next level's numbering.  Built from
+    # the HOST level systems (numpy leaves, disk-cached).
     def _coords_of(s, mesh_vertices=None):
         c = (np.asarray(s.space.dof_coords) if mesh_vertices is None
              else np.asarray(mesh_vertices))
@@ -373,7 +423,6 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
             c = c[np.asarray(s.perm)[:len(c)]]
         return c
 
-    _tick('ship levels to device')
     transfers = []
     free_fine = np.asarray(sys.free)
     transfers.append(_interp(_coords_of(sys), level_meshes[0],
@@ -388,27 +437,57 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
             n_fine_out=lsys[i].ndofs,
             n_coarse_out=lsys[i + 1].ndofs,
             coarse_old2new=lsys[i + 1].iperm))
-
     _tick('transfers (host, cached)')
+
+    # the V-cycle consumes Robin batches in f32 (smoothing dtype), so
+    # ship f32 copies; the host f64 originals stay for the CPU coarse
+    # path.  ONE device_put ships the whole MG payload.
+    Rb_f32 = [None if rb is None else np.asarray(rb, dtype=np.float32)
+              for rb in R_batches]
+    rbf_f32 = (None if robin_matrices_fine is None
+               else np.asarray(robin_matrices_fine, dtype=np.float32))
+    mid_dinv_d = mid_dinv
+    if cpu0 is not None and jax.default_backend() != "cpu":
+        lsys, transfers, mid_dinv_d, rbf_f32, Rb_f32 = (
+            _ship_to_default_device(
+                (lsys, transfers, mid_dinv_d, rbf_f32, Rb_f32)))
+    _tick('ship MG payload to device (one put)')
+
     # levels: fine + all mids (the coarsest is the dense solve, no smooth)
     levels = []
-    rbf_dev = (None if robin_matrices_fine is None
-               else jnp.asarray(robin_matrices_fine))
-    fine_dinv = _fine_dinv(sys, D_vec, mu_vec, rbf_dev)
+    fine_dinv = _fine_dinv(sys, D_vec, mu_vec, rbf_f32)
     levels.append(_Level(sys=sys, dinv=fine_dinv, free=sys.free,
                          transfer=transfers[0]))
     for i in range(n_levels - 1):
-        levels.append(_Level(sys=lsys[i], dinv=jnp.asarray(mid_dinv[i]),
+        levels.append(_Level(sys=lsys[i], dinv=jnp.asarray(mid_dinv_d[i]),
                              free=lsys[i].free,
                              transfer=transfers[i + 1]))
 
-    # coarsest: per-sample dense inverses on HOST (tiny: ~nc^2 per sample;
-    # on-device factorisations lower to pathologically slow sequential
-    # kernels under this TPU runtime -- same finding as twolevel.py)
+    # coarsest: per-sample dense inverses.  On accelerators they are
+    # computed ON DEVICE by batched Newton-Schulz iteration (pure MXU
+    # matmuls; LU lowers to pathologically slow sequential kernels under
+    # this TPU runtime, and the host route costs a ~20 MB inverse upload
+    # at ~10 MB/s tunnel bandwidth -- measured 2.1 s of the 7.3 s setup).
+    # On CPU the LAPACK host path below is both exact and fastest.
     _tick('fine dinv + level structs')
     csys = lsys_cpu[-1]
     nc = csys.ndofs
     import numpy as _np
+
+    if (jax.default_backend() != "cpu"
+            and _os.environ.get("FEU_COARSE_DEV", "1") == "1"):
+        csys_d = lsys[-1]
+        Ainv = _coarse_inverse_device(csys_d, D_vec, mu_vec, Rb_f32[-1])
+        _tick('coarse inverses (device Newton-Schulz)')
+        if _dbg:
+            jax.block_until_ready(Ainv)
+            _tick('coarse inverse dispatch wait')
+        return MultilevelData(levels=tuple(levels), Ainv=Ainv,
+                              free_c=lsys[-1].free,
+                              omega=float(omega), D_vec=D_vec,
+                              mu_vec=mu_vec,
+                              R_batches=tuple([rbf_f32]
+                                              + list(Rb_f32[:-1])))
 
     def dense_of(block, A_e):
         M = _np.zeros((nc, nc))
@@ -463,8 +542,108 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
     return MultilevelData(levels=tuple(levels), Ainv=Ainv,
                           free_c=jnp.asarray(free_c),
                           omega=float(omega), D_vec=D_vec, mu_vec=mu_vec,
-                          R_batches=tuple([robin_matrices_fine]
-                                          + R_batches[:-1]))
+                          R_batches=tuple([rbf_f32]
+                                          + list(Rb_f32[:-1])))
+
+
+# device-side coarsest dense inverses: scatter the (already-shipped)
+# coarse element arrays into (nc, nc), constrain, and invert the whole
+# (B, nc, nc) batch by Newton-Schulz iteration X <- X(2I - AX).  With
+# X0 = A^T/(|A|_1 |A|_inf) the iteration contracts for any nonsingular
+# A; for these SPD-dominated coarse operators (cond <~1e4 at ~500 dofs)
+# ~35 doublings reach f32 accuracy, i.e. a handful of (B,512,512)
+# matmuls -- microseconds of MXU time, zero host->device traffic.
+_COARSE_INV_CACHE = {}
+
+
+def _ns_iters():
+    import os
+    return int(os.environ.get("FEU_NS_ITERS", "50"))
+
+
+def _coarse_inverse_program(key):
+    prog = _COARSE_INV_CACHE.get(key)
+    if prog is not None:
+        return prog
+    has_adv, has_R, has_Rb, iters = key[:4]
+
+    def dense(dofs, Ae, nc):
+        shp = Ae.shape
+        r = jnp.broadcast_to(dofs[:, :, None], shp).reshape(-1)
+        c = jnp.broadcast_to(dofs[:, None, :], shp).reshape(-1)
+        return (jnp.zeros((nc, nc), jnp.float32)
+                .at[r, c].add(Ae.reshape(-1).astype(jnp.float32)))
+
+    def constrain(M, fmask):
+        M = M * fmask[:, None] * fmask[None, :]
+        return M + jnp.diag(1.0 - fmask)
+
+    def ns_inv(A):
+        hi = jax.lax.Precision.HIGHEST
+        n1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+        ninf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+        X = A.T / (n1 * ninf)
+        I2 = 2.0 * jnp.eye(A.shape[0], dtype=A.dtype)
+
+        def body(_, X):
+            AX = jnp.matmul(A, X, precision=hi)
+            return jnp.matmul(X, I2 - AX, precision=hi)
+
+        return jax.lax.fori_loop(0, iters, body, X)
+
+    def fn(Kd, Kv, Advd, Advv, Rd, Rv, Rb, free, D, mu):
+        nc = free.shape[0]
+        fmask = free.astype(jnp.float32)
+        K = constrain(dense(Kd, Kv, nc), fmask)
+        Adv = None
+        if has_adv:
+            M = dense(Advd, Advv, nc)
+            Adv = constrain(0.5 * (M + M.T), fmask)
+        Rfix = (constrain(dense(Rd, Rv, nc), fmask)
+                if (has_R and not has_Rb) else None)
+
+        def one(b):
+            A = D[b].astype(jnp.float32) * K
+            if Adv is not None:
+                A = A + Adv
+            if has_Rb:
+                A = A + constrain(dense(Rd, Rb[b], nc), fmask)
+            elif Rfix is not None:
+                A = A + mu[b].astype(jnp.float32) * Rfix
+            reg = 1e-6 * jnp.abs(jnp.diagonal(A)).mean()
+            A = A + reg * jnp.eye(nc, dtype=A.dtype)
+            return ns_inv(A)
+
+        return jax.lax.map(one, jnp.arange(D.shape[0]))
+
+    prog = jax.jit(fn)
+    _COARSE_INV_CACHE[key] = prog
+    return prog
+
+
+def _coarse_inverse_device(csys_d, D_vec, mu_vec, Rb):
+    """(B, nc, nc) f32 coarsest inverses, computed on-device from the
+    shipped coarse TransportSystem (no dense upload)."""
+    has_adv = csys_d.Adv is not None
+    has_R = csys_d.R is not None
+    has_Rb = Rb is not None
+    iters = _ns_iters()
+    key = (has_adv, has_R, has_Rb, iters, int(csys_d.ndofs),
+           tuple(csys_d.K.A32.shape),
+           None if not has_adv else tuple(csys_d.Adv.A32.shape),
+           None if not has_R else tuple(csys_d.R.A32.shape),
+           None if not has_Rb else tuple(Rb.shape),
+           int(np.asarray(D_vec).shape[0]))
+    prog = _coarse_inverse_program(key)
+    z2 = jnp.zeros((1, 1), jnp.int32)
+    z3 = jnp.zeros((1, 1, 1), jnp.float32)
+    return prog(csys_d.K.dofs, csys_d.K.A32,
+                csys_d.Adv.dofs if has_adv else z2,
+                csys_d.Adv.A32 if has_adv else z3,
+                csys_d.R.dofs if has_R else z2,
+                csys_d.R.A32 if has_R else z3,
+                Rb if has_Rb else z3[None],
+                csys_d.free, jnp.asarray(D_vec), jnp.asarray(mu_vec))
 
 
 # structure-keyed program cache: like parallel/sweep.py's operator
