@@ -448,9 +448,20 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
                else np.asarray(robin_matrices_fine, dtype=np.float32))
     mid_dinv_d = mid_dinv
     if cpu0 is not None and jax.default_backend() != "cpu":
+        # level bands stay HOST-side: banded applies inside M are
+        # disabled by default (remote-compiler fault, see
+        # make_ml_preconditioner) and the mid-level band is ~85% of the
+        # payload bytes (12.6 MB at h=0.06).  FEU_ML_BAND=1 still works
+        # via auto-transfer at argument time.
+        bands = [(s.Kband, s.Advband) for s in lsys]
+        lsys = [s._replace(Kband=None, Advband=None) for s in lsys]
         lsys, transfers, mid_dinv_d, rbf_f32, Rb_f32 = (
             _ship_to_default_device(
                 (lsys, transfers, mid_dinv_d, rbf_f32, Rb_f32)))
+        lsys = [s._replace(
+            Kband=None if kb is None else np.asarray(kb),
+            Advband=None if ab is None else np.asarray(ab))
+            for s, (kb, ab) in zip(lsys, bands)]
     _tick('ship MG payload to device (one put)')
 
     # levels: fine + all mids (the coarsest is the dense solve, no smooth)
@@ -687,6 +698,18 @@ def _ml_smooth_steps():
     return max(1, int(os.environ.get("FEU_ML_SMOOTH", "1")))
 
 
+def _ml_cycle():
+    """Cycle type: 'mult' = multiplicative V(nu,nu) (fewest iterations),
+    'add' = additive/BPX (scaled Jacobi + coarse terms summed, ZERO
+    operator applies inside M -- each CG iteration costs only the CG
+    operator apply + transfer chains, trading ~1.5-2x more iterations
+    for a much cheaper cycle; the fine-level element applies inside the
+    multiplicative cycle are the per-iteration bottleneck on TPU while
+    banded applies inside M fault the remote compiler)."""
+    import os
+    return os.environ.get("FEU_ML_CYCLE", "mult")
+
+
 def _ml_struct_key(ml: MultilevelData, f32: bool):
     from ..parallel.sweep import sys_struct_key
     lv = tuple(
@@ -694,7 +717,7 @@ def _ml_struct_key(ml: MultilevelData, f32: bool):
          ml.R_batches[i] is not None)
         for i, lev in enumerate(ml.levels))
     return (lv, int(ml.Ainv.shape[1]), str(_ml_dtype(f32)),
-            _ml_smooth_steps())
+            _ml_smooth_steps(), _ml_cycle())
 
 
 def _ml_program(struct_key):
@@ -702,7 +725,7 @@ def _ml_program(struct_key):
     if hit is not None:
         return hit
     from ..parallel.sweep import _args_block_apply
-    level_structs, nc, _dt_tag, n_smooth = struct_key
+    level_structs, nc, _dt_tag, n_smooth, cycle = struct_key
     n_mid = len(level_structs)
     ndofs_l = [s[0][0] for s in level_structs]
     ncoarse_l = [s[1] for s in level_structs]
@@ -762,12 +785,37 @@ def _ml_program(struct_key):
                                                     mu_vec))
         return x
 
+    def additive(m_args, R):
+        """BPX-style additive preconditioner: restrict the residual down
+        the hierarchy, apply scaled Jacobi at every smoothing level and
+        the dense inverse at the coarsest, prolong-accumulate back up.
+        Symmetric PSD (each term is P...omega*D^-1...P^T); contains NO
+        operator applies, so a CG iteration costs only the (banded) CG
+        operator + the transfer chains."""
+        levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
+        rs = [R.astype(D_vec.dtype)]
+        for l in range(n_mid):
+            la = levels[l]
+            rc = restrict(la, rs[-1], ncoarse_l[l])
+            rc = jnp.where((levels[l + 1].free if l + 1 < n_mid
+                            else free_c)[:, None], rc, 0.0)
+            rs.append(rc)
+        xc_b = jnp.matmul(Ainv, jnp.moveaxis(rs[-1], 1, 0)[..., None],
+                          preferred_element_type=jnp.float32)
+        c = jnp.moveaxis(xc_b[..., 0], 0, 1).astype(rs[-1].dtype)
+        for l in range(n_mid - 1, -1, -1):
+            la = levels[l]
+            c = omega * la.dinv * rs[l] + prolong(la, c)
+        return c.astype(R.dtype)
+
     def apply(m_args, R):
         levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
         Rw = R.astype(D_vec.dtype)
         out = vcycle(0, Rw, levels, free_c, Ainv, D_vec, mu_vec, omega)
         return out.astype(R.dtype)
 
+    if cycle == "add":
+        apply = additive
     _ML_PROG_CACHE[struct_key] = apply
     return apply
 
