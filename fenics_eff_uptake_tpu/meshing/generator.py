@@ -173,10 +173,73 @@ def _dedupe_polyline(chains):
     return out
 
 
+def _mesh_to_arrays(md: MeshData):
+    out = {"vertices": md.vertices, "cells": md.cells,
+           "cell_domain": md.cell_domain, "bc_marker": md.bc_marker,
+           "bottom_marker": md.bottom_marker, "y0_marker": md.y0_marker,
+           "b_edges": md.boundary.edges, "b_cell": md.boundary.cell,
+           "b_local": md.boundary.local_edge}
+    iy = md.interior_y0
+    if iy is not None:
+        out.update({"iy_edges": iy.edges, "iy_cp": iy.cell_plus,
+                    "iy_lp": iy.local_edge_plus, "iy_cm": iy.cell_minus,
+                    "iy_lm": iy.local_edge_minus})
+    return out
+
+
+def _mesh_from_arrays(d, geom, domain_type) -> MeshData:
+    from .mesh_data import FacetSet, InteriorFacetSet
+    iy = None
+    if "iy_edges" in d:
+        iy = InteriorFacetSet(edges=d["iy_edges"], cell_plus=d["iy_cp"],
+                              local_edge_plus=d["iy_lp"],
+                              cell_minus=d["iy_cm"],
+                              local_edge_minus=d["iy_lm"])
+    return MeshData(vertices=d["vertices"], cells=d["cells"],
+                    domain_type=domain_type,
+                    cell_domain=d["cell_domain"],
+                    boundary=FacetSet(edges=d["b_edges"],
+                                      cell=d["b_cell"],
+                                      local_edge=d["b_local"]),
+                    bc_marker=d["bc_marker"],
+                    bottom_marker=d["bottom_marker"],
+                    y0_marker=d["y0_marker"], interior_y0=iy, geom=geom)
+
+
 def generate_mesh(width, height, sulcus_depth, sulcus_width, mesh_size,
                   refinement_factor=1, domain_type="sulcus",
                   n_smooth=4) -> MeshData:
-    """Generate a sulcus or rectangular channel mesh (ref mesh.py:504-598)."""
+    """Generate a sulcus or rectangular channel mesh (ref mesh.py:504-598).
+
+    The triangulation is pure in its scalar arguments, so the finished
+    MeshData is persisted across processes (utils/diskcache.py) --
+    study drivers and bench regenerate the same meshes every run, and
+    the native kernel + marker build cost ~0.7 s at h=0.02."""
+    from ..utils.diskcache import cache_key_of, load_arrays, store_arrays
+    key = cache_key_of("mesh-v1", float(width), float(height),
+                       float(sulcus_depth), float(sulcus_width),
+                       float(mesh_size), int(refinement_factor),
+                       domain_type, int(n_smooth))
+    hit = load_arrays("mesh", key)
+    geom_c = SulcusGeometry(width=width, height=height,
+                            sulcus_width=sulcus_width,
+                            sulcus_depth=sulcus_depth,
+                            mesh_size=mesh_size,
+                            refinement_factor=int(refinement_factor))
+    dt = ("rectangular" if domain_type == "rectangular"
+          or sulcus_width <= 0 or sulcus_depth <= 0 else "sulcus")
+    if hit is not None:
+        return _mesh_from_arrays(hit, geom_c, dt)
+    md = _generate_mesh_impl(width, height, sulcus_depth, sulcus_width,
+                             mesh_size, refinement_factor, domain_type,
+                             n_smooth)
+    store_arrays("mesh", key, _mesh_to_arrays(md))
+    return md
+
+
+def _generate_mesh_impl(width, height, sulcus_depth, sulcus_width,
+                        mesh_size, refinement_factor=1,
+                        domain_type="sulcus", n_smooth=4) -> MeshData:
     geom = SulcusGeometry(width=width, height=height,
                           sulcus_width=sulcus_width,
                           sulcus_depth=sulcus_depth,

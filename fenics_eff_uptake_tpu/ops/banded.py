@@ -42,8 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BandPlan", "rcm_permutation", "build_band_plan",
-           "band_from_elements", "band_apply"]
+__all__ = ["BandPlan", "rcm_permutation", "best_bandwidth_permutation",
+           "build_band_plan", "band_from_elements", "band_apply"]
 
 
 class BandPlan(NamedTuple):
@@ -83,6 +83,36 @@ def rcm_permutation(entity_dofs: np.ndarray, ndofs_true: int,
     old2new = np.empty(ndofs_padded, dtype=np.int64)
     old2new[new2old] = np.arange(ndofs_padded)
     return (new2old.astype(np.int32), old2new.astype(np.int32))
+
+
+def _spread_of(entity_dofs, old2new):
+    e = old2new.astype(np.int64)[np.asarray(entity_dofs)]
+    return int((e.max(axis=1) - e.min(axis=1)).max())
+
+
+def best_bandwidth_permutation(entity_dofs: np.ndarray,
+                               dof_coords: np.ndarray,
+                               ndofs_true: int, ndofs_padded: int):
+    """Minimum-spread dof ordering: RCM vs geometric sweep.
+
+    On elongated domains (the studies' 10:1 sulcus channel) a plain
+    lexicographic (x, y) sweep beats RCM substantially (measured 357 vs
+    643 at ~1e5 P2 dofs), and band HBM bytes -- the banded apply's cost
+    -- scale with the spread.  Returns the (new2old, old2new) pair with
+    the smaller graph spread."""
+    cand = [rcm_permutation(entity_dofs, ndofs_true, ndofs_padded)]
+    if dof_coords is not None and len(dof_coords) >= ndofs_true:
+        xy = np.asarray(dof_coords)[:ndofs_true]
+        order = np.lexsort((xy[:, 1], xy[:, 0]))
+        n2o = np.concatenate(
+            [order.astype(np.int64),
+             np.arange(ndofs_true, ndofs_padded, dtype=np.int64)])
+        o2n = np.empty(ndofs_padded, dtype=np.int64)
+        o2n[n2o] = np.arange(ndofs_padded)
+        cand.append((n2o.astype(np.int32), o2n.astype(np.int32)))
+    ed = np.asarray(entity_dofs)
+    ed = ed[(ed < ndofs_true).all(axis=1)]
+    return min(cand, key=lambda c: _spread_of(ed, c[1]))
 
 
 def build_band_plan(entity_dofs: np.ndarray, ndofs: int,

@@ -208,11 +208,17 @@ def _permute_block(b: _Block, old2new: np.ndarray) -> _Block:
 # host-side permutation + scatter-plan bundles, cached per mesh/element
 # in mesh.info (value-independent, lifetime tied to the mesh; rebuilt
 # band ARRAYS are cheap device scatters)
-_BAND_TILE = 256
+# 128-row band tiles: the band's HBM bytes are n*(2*ceil(spread/R)+1)*R
+# *4 and the apply is band-read bound, so smaller tiles track the graph
+# spread more tightly (381 MB vs 763 MB at spread 357, ~1e5 dofs); the
+# (128, 128) @ (128, B) tile matmuls still fill the MXU.
+_BAND_TILE = 128
 
 
-def _band_plans_for(mesh, element, K: _Block, Adv, R, ndofs, n_true):
-    from ..ops.banded import build_band_plan, rcm_permutation
+def _band_plans_for(mesh, element, K: _Block, Adv, R, ndofs, n_true,
+                    dof_coords=None):
+    from ..ops.banded import (build_band_plan,
+                              best_bandwidth_permutation)
     key = ("band_plan", element, ndofs, K.A64.shape[0],
            None if Adv is None else Adv.A64.shape[0],
            None if R is None else R.A64.shape[0], _BAND_TILE)
@@ -228,7 +234,8 @@ def _band_plans_for(mesh, element, K: _Block, Adv, R, ndofs, n_true):
         new2old, old2new, Kp, Advp, Rp, plan_K = hit
         return (new2old, old2new, _fresh(Kp, K), _fresh(Advp, Adv),
                 _fresh(Rp, R), plan_K)
-    new2old, old2new = rcm_permutation(np.asarray(K.dofs), n_true, ndofs)
+    new2old, old2new = best_bandwidth_permutation(
+        np.asarray(K.dofs), dof_coords, n_true, ndofs)
     Kp = _permute_block(K, old2new)
     Advp = None if Adv is None else _permute_block(Adv, old2new)
     Rp = None if R is None else _permute_block(R, old2new)
@@ -253,7 +260,7 @@ def _system_cache_key(mesh, element, u_values, u_space, robin_degree,
     from ..utils.diskcache import cache_key_of
     import os as _os
     return cache_key_of(
-        "tsys-v1", np.asarray(mesh.vertices), np.asarray(mesh.cells),
+        "tsys-v2", np.asarray(mesh.vertices), np.asarray(mesh.cells),
         np.asarray(mesh.bc_marker), element,
         None if u_values is None else np.asarray(u_values),
         None if u_space is None else (u_space.element, u_space.vs),
@@ -385,7 +392,8 @@ def build_transport_system(mesh: MeshData, element="P2",
     if band and ndofs % _BAND_TILE == 0:
         from ..ops.banded import band_from_elements
         perm, iperm, K, Adv, R, plan_K = _band_plans_for(
-            mesh, element, K, Adv, R, ndofs, space.ndofs)
+            mesh, element, K, Adv, R, ndofs, space.ndofs,
+            dof_coords=np.asarray(space.dof_coords))
         free = free[jnp.asarray(perm)]
         bc_values = bc_values[jnp.asarray(perm)]
         Kband = band_from_elements(K.A32, plan_K)

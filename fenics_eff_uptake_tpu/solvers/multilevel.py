@@ -568,8 +568,11 @@ _COARSE_INV_CACHE = {}
 
 
 def _ns_iters():
+    # 35 doublings reach the f32 accuracy floor for these coarse
+    # operators (LAPACK-pinned tests pass down to 30); each iteration is
+    # two (B, nc, nc) matmuls, so fewer iters shave setup dispatch time
     import os
-    return int(os.environ.get("FEU_NS_ITERS", "50"))
+    return int(os.environ.get("FEU_NS_ITERS", "35"))
 
 
 def _coarse_inverse_program(key):
@@ -808,6 +811,28 @@ def _ml_program(struct_key):
             c = omega * la.dinv * rs[l] + prolong(la, c)
         return c.astype(R.dtype)
 
+    def hybrid(m_args, R):
+        """Additive at the FINE level (scaled Jacobi + prolongated
+        coarse correction -- zero fine-level operator applies, the
+        per-iteration bottleneck), multiplicative V-cycle below (the
+        mid levels are ~25x smaller, so their smoothing applies are
+        cheap).  Symmetric PSD: sum of two symmetric PSD terms."""
+        levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
+        la = levels[0]
+        Rw = R.astype(D_vec.dtype)
+        rc = restrict(la, Rw, ncoarse_l[0])
+        if n_mid > 1:
+            rc = jnp.where(levels[1].free[:, None], rc, 0.0)
+            xc = vcycle(1, rc, levels, free_c, Ainv, D_vec, mu_vec,
+                        omega)
+        else:
+            rc = jnp.where(free_c[:, None], rc, 0.0)
+            xc_b = jnp.matmul(Ainv, jnp.moveaxis(rc, 1, 0)[..., None],
+                              preferred_element_type=jnp.float32)
+            xc = jnp.moveaxis(xc_b[..., 0], 0, 1).astype(rc.dtype)
+        out = omega * la.dinv * Rw + prolong(la, xc)
+        return out.astype(R.dtype)
+
     def apply(m_args, R):
         levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
         Rw = R.astype(D_vec.dtype)
@@ -816,6 +841,8 @@ def _ml_program(struct_key):
 
     if cycle == "add":
         apply = additive
+    elif cycle == "hybrid":
+        apply = hybrid
     _ML_PROG_CACHE[struct_key] = apply
     return apply
 
