@@ -188,7 +188,9 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     Mp_op = SumOperator([Mp], Q.ndofs)
     mp_lump = np.asarray(Mp_op.apply(jnp.ones(Q.ndofs)))
     mp_inv = np.ones(np_pad)
-    mp_inv[:np_true] = 1.0 / np.clip(mp_lump, 1e-300, None)
+    import os as _os
+    _mp_scale = float(_os.environ.get("FEU_STOKES_MP_SCALE", "1.0"))
+    mp_inv[:np_true] = _mp_scale / np.clip(mp_lump, 1e-300, None)
     mp64 = jnp.asarray(mp_inv)
     mp32 = mp64.astype(jnp.float32)
 
@@ -308,15 +310,50 @@ def stokes_solve(mesh: MeshData, H: float,
     Default path: block-preconditioned MINRES + velocity multigrid
     (stokes_solve_mg; equivalence-tested against the Schur-CG path at
     1e-10).  FEU_STOKES=schur selects the round-1 Uzawa/Schur solver.
+
+    The solved fields are disk-checkpointed per (mesh, H, rtol,
+    method) -- a Stokes solve is ~60 s on TPU at study scale and the
+    flow field is a pure function of the geometry, so study re-runs,
+    replot passes, and downstream transport sweeps reload it in
+    milliseconds (FEU_DISK_CACHE=0 disables, as for all caches).
     """
     import os
-    if os.environ.get("FEU_STOKES", "mg") == "mg":
-        return stokes_solve_mg(mesh, H, rtol=outer_rtol,
+    method = os.environ.get("FEU_STOKES", "mg")
+
+    from ..utils.diskcache import cache_key_of, load_arrays, store_arrays
+    key = cache_key_of("stokes-v1", np.asarray(mesh.vertices),
+                       np.asarray(mesh.cells), float(H),
+                       float(outer_rtol), precision, method)
+    hit = load_arrays("stokes", key)
+    if hit is not None:
+        import jax.numpy as jnp
+        V, Q = taylor_hood_spaces(mesh)
+        u = Function(V, jnp.asarray(hit["u"]))
+        p = Function(Q, jnp.asarray(hit["p"]))
+        info = {"outer_iters": int(hit["outer_iters"]),
+                "inner_iters": int(hit["inner_iters"]),
+                "resnorm": float(hit["resnorm"]), "converged": True,
+                "method": str(hit["method"]) + "+cache"}
+        u.solver_info = info
+        p.solver_info = info
+        return u, p
+
+    if method == "mg":
+        u, p = stokes_solve_mg(mesh, H, rtol=outer_rtol,
                                precision=precision)
-    return stokes_solve_schur(mesh, H, inner_rtol=inner_rtol,
-                              outer_rtol=outer_rtol,
-                              outer_maxiter=outer_maxiter,
-                              precision=precision)
+    else:
+        u, p = stokes_solve_schur(mesh, H, inner_rtol=inner_rtol,
+                                  outer_rtol=outer_rtol,
+                                  outer_maxiter=outer_maxiter,
+                                  precision=precision)
+    info = u.solver_info
+    store_arrays("stokes", key, {
+        "u": np.asarray(u.values), "p": np.asarray(p.values),
+        "outer_iters": int(info.get("outer_iters", 0)),
+        "inner_iters": int(info.get("inner_iters", 0)),
+        "resnorm": float(info.get("resnorm", 0.0)),
+        "method": info.get("method", method)})
+    return u, p
 
 
 def stokes_solve_schur(mesh: MeshData, H: float,

@@ -126,6 +126,14 @@ def build_band_plan(entity_dofs: np.ndarray, ndofs: int,
         raise ValueError(f"ndofs {ndofs} not a multiple of tile {tile}")
     spread = int((ed.max(axis=1) - ed.min(axis=1)).max())
     halo = max(1, -(-spread // tile))
+    # quantise the halo to a short menu: W enters every banded program's
+    # shape, so a per-geometry halo would recompile the full solver
+    # stack per geometry class in multi-mesh studies (minutes each on
+    # the remote TPU compiler)
+    for h in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
+        if h >= halo:
+            halo = h
+            break
     W = (2 * halo + 1) * tile
     T = ndofs // tile
     nd = ed.shape[1]

@@ -100,6 +100,32 @@ def main():
     print(f"segment_sum (320k):   {timeit(jax, segsum_only, t_ids, Y):.2f} ms",
           flush=True)
 
+    # per-k restrict variant: three n-row sorted scatters, no (n,3,B)
+    # intermediate materialisation
+    cols_np = np.asarray(tr.cols)
+    w_np = np.asarray(tr.weights)
+    pks, iks, wks = [], [], []
+    for k in range(3):
+        order = np.argsort(cols_np[:, k], kind="stable")
+        pks.append(jnp.asarray(order.astype(np.int32)))
+        iks.append(jnp.asarray(cols_np[order, k].astype(np.int32)))
+        wks.append(jnp.asarray(w_np[order, k]))
+    pks, iks, wks = tuple(pks), tuple(iks), tuple(wks)
+
+    @jax.jit
+    def restrict_perk(pks, iks, wks, R):
+        out = None
+        for pk, ik, wk in zip(pks, iks, wks):
+            c = jax.ops.segment_sum(wk[:, None] * R[pk], ik,
+                                    num_segments=nco,
+                                    indices_are_sorted=True)
+            out = c if out is None else out + c
+        return out
+
+    print(f"restrict per-k:       "
+          f"{timeit(jax, restrict_perk, pks, iks, wks, X):.2f} ms",
+          flush=True)
+
     # dinv scale + axpy at fine shape, for reference
     dinv = lv0.dinv
 

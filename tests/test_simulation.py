@@ -145,3 +145,17 @@ def test_advdiff_high_pe_gmres_matches_bicgstab():
     assert c_g.solver_info.get("method") == "gmres"
     c_b = advdiff_solve(md, u, D=1.0 / Pe, mu=1.0, solver=None)
     assert np.abs(c_g.as_numpy() - c_b.as_numpy()).max() < 1e-8
+
+
+def test_stokes_field_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """stokes_solve disk-checkpoints the solved fields per geometry; a
+    reload must be bit-identical to the solved fields."""
+    monkeypatch.setenv("FEU_CACHE_DIR", str(tmp_path))
+    md = structured_rectangle(2.0, 1.0, 8, 4)
+    u1, p1 = stokes_solve(md, H=1.0)
+    assert "+cache" not in u1.solver_info["method"]
+    u2, p2 = stokes_solve(md, H=1.0)
+    assert u2.solver_info["method"].endswith("+cache")
+    assert np.array_equal(u1.as_numpy(), u2.as_numpy())
+    assert np.array_equal(p1.as_numpy(), p2.as_numpy())
+    assert u2.solver_info["outer_iters"] == u1.solver_info["outer_iters"]
