@@ -42,10 +42,16 @@ def main():
     t_mesh = time.time()
     mesh = generate_mesh(mesh_size=MESH_SIZE, **kw)
     if PRECOND == "ml":
-        aux_meshes = [generate_mesh(mesh_size=max(3 * MESH_SIZE, 0.06),
+        # nested P1-on-the-fine-mesh first level (exact embedding) +
+        # coarser rediscretised P1 levels; see solvers/multilevel.py
+        # level_meshes_for
+        aux_meshes = [mesh,
+                      generate_mesh(mesh_size=max(3 * MESH_SIZE, 0.06),
                                     **kw),
                       generate_mesh(mesh_size=max(9 * MESH_SIZE, 0.18),
                                     **kw)]
+        if os.environ.get("FEU_ML_NESTED", "1") != "1":
+            aux_meshes = aux_meshes[1:]
     else:
         aux_meshes = [generate_mesh(mesh_size=max(4 * MESH_SIZE, 0.08),
                                     **kw)]

@@ -84,15 +84,26 @@ def coarse_level_meshes(mesh_kwargs, mesh_size, factors=(3.0, 9.0),
 _LEVEL_MESH_CACHE = {}
 
 
-def level_meshes_for(mesh, factors=(3.0, 9.0), cap=0.45):
+def level_meshes_for(mesh, factors=(3.0, 9.0), cap=0.45, nested=None):
     """Coarser-level meshes of the same geometry as ``mesh`` (cached).
 
     Reads the generation parameters off mesh.geom; level h is capped so
     the coarsest mesh stays valid relative to the channel height.
+
+    nested (default on, FEU_ML_NESTED=0 disables): the first level is
+    the fine mesh ITSELF -- a P1 space nested inside the fine P2 space
+    with exact embedding transfers.  The P2 fine level's Jacobi
+    smoothing is weak (P2 stencils smooth poorly pointwise) and the
+    non-nested barycentric P2->P1(3h) jump was the MG bottleneck:
+    inserting the nested level cuts CG iterations 61 -> 24 on the bench
+    workload for one extra (cheap, half-the-rows P1) level.
     """
+    import os as _os
     from ..meshing.generator import generate_mesh
     g = mesh.geom
-    out = []
+    if nested is None:
+        nested = _os.environ.get("FEU_ML_NESTED", "1") == "1"
+    out = [mesh] if nested else []
     for f in factors:
         h_l = min(g.mesh_size * float(f), cap * g.height)
         key = (mesh.domain_type, g.width, g.height, g.sulcus_depth,
