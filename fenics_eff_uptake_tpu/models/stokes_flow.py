@@ -279,7 +279,12 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
             if rn <= rtol * max(bnorm, 1e-300):
                 break
             r32 = (r[0].astype(jnp.float32), r[1].astype(jnp.float32))
-            res = minres_tree((S_fn, s32), r32, M=M32, rtol=2e-5,
+            # per-pass depth: restarts discard Krylov history, but f32
+            # MINRES stagnates below ~1e-5 relative on this saddle
+            # (measured: rtol 2e-6 -> 720 total iters vs 600 at 2e-5)
+            _pass_rtol = float(_os.environ.get("FEU_STOKES_PASS_RTOL",
+                                               "2e-5"))
+            res = minres_tree((S_fn, s32), r32, M=M32, rtol=_pass_rtol,
                               maxiter=maxiter, chunk_iters=chunk_iters)
             total_iters += res.iters
             x = (x[0] + res.x[0].astype(jnp.float64),
