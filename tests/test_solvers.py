@@ -131,3 +131,34 @@ def test_multilevel_with_shape_bucketing():
     X_u, _ = solve_sweep(sys_u, D, mu_values=mus, rtol=1e-13,
                          precision="f64", chunk_iters=100, maxiter=20000)
     assert np.abs(np.asarray(X_p) - np.asarray(X_u)).max() < 1e-8
+
+
+def test_multilevel_nested_level_cuts_iterations():
+    """The nested P1-on-the-fine-mesh first level (exact embedding,
+    level_meshes_for default) must converge in substantially fewer CG
+    iterations than the non-nested P2 -> P1(2h) -> P1(4h) ladder, with
+    the same solution."""
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.parallel.sweep import (
+        build_transport_system, solve_sweep)
+    from fenics_eff_uptake_tpu.solvers.multilevel import build_multilevel
+
+    kw = dict(width=5.0, height=1.0, sulcus_depth=0.25, sulcus_width=0.25,
+              refinement_factor=1, domain_type="sulcus")
+    mesh = generate_mesh(mesh_size=0.08, **kw)
+    coarser = [generate_mesh(mesh_size=0.24, **kw),
+               generate_mesh(mesh_size=0.48, **kw)]
+    sys_t = build_transport_system(mesh, element="P2", pad_shapes=False)
+    mus = np.array([0.1, 10.0])
+    D = np.ones_like(mus)
+
+    ml_flat = build_multilevel(sys_t, coarser, D, mu_values=mus)
+    X_f, info_f = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-11,
+                              precision="mixed", multilevel=ml_flat,
+                              chunk_iters=10, maxiter=1000)
+    ml_nest = build_multilevel(sys_t, [mesh] + coarser, D, mu_values=mus)
+    X_n, info_n = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-11,
+                              precision="mixed", multilevel=ml_nest,
+                              chunk_iters=10, maxiter=1000)
+    assert np.abs(np.asarray(X_n) - np.asarray(X_f)).max() < 1e-8
+    assert info_n["iters"].max() <= info_f["iters"].max() * 0.6
