@@ -933,6 +933,11 @@ def build_multilevel_for(sys, mesh, D_values, mu_values=None,
         from ..fem.space import Function, FunctionSpace
         u_levels = []
         for m in level_meshes:
+            if m is mesh:
+                # nested same-mesh level: the fine velocity field IS the
+                # level field (skip the 1e5-point location pass)
+                u_levels.append((u_fine.values, u_fine.space))
+                continue
             Vl = FunctionSpace(m, "P2", vs=2)
             vals, ok = eval_function(u_fine, Vl.dof_coords)
             vals = np.where(ok[:, None], vals, 0.0)
