@@ -219,3 +219,38 @@ def test_diskcache_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("FEU_DISK_CACHE", "0")
     _, hit3 = dc.cached_arrays("t", key, build)
     assert not hit3 and len(calls) == 2
+
+
+def test_band_plan_halo_quantized():
+    """Halos snap to the fixed menu so band widths (compile-relevant
+    shapes) are shared across geometry classes in multi-mesh studies."""
+    from fenics_eff_uptake_tpu.ops.banded import build_band_plan
+    # spread 5*128 < s <= 6*128 would be halo 5 unquantized -> menu 6
+    dofs = np.array([[0, 700]])
+    plan = build_band_plan(dofs, 1024, tile=128)
+    assert plan.halo == 6
+    assert plan.width == (2 * 6 + 1) * 128
+    # spread within halo 1 stays 1
+    plan = build_band_plan(np.array([[0, 100]]), 1024, tile=128)
+    assert plan.halo == 1
+
+
+def test_best_bandwidth_permutation_prefers_geometric():
+    """On an elongated strip the lexicographic sweep must beat RCM (or
+    tie); the returned permutation must be a valid bijection."""
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.fem.space import FunctionSpace
+    from fenics_eff_uptake_tpu.ops.banded import (
+        best_bandwidth_permutation, rcm_permutation, _spread_of)
+    m = generate_mesh(width=10.0, height=1.0, sulcus_depth=0.25,
+                      sulcus_width=0.25, mesh_size=0.1,
+                      refinement_factor=1, domain_type="sulcus")
+    sp = FunctionSpace(m, "P2")
+    ed = np.asarray(sp.cell_dofs)
+    n = sp.ndofs
+    n2o, o2n = best_bandwidth_permutation(ed, np.asarray(sp.dof_coords),
+                                          n, n)
+    assert np.array_equal(np.sort(n2o), np.arange(n))
+    assert np.array_equal(o2n[n2o], np.arange(n))
+    _, o2n_rcm = rcm_permutation(ed, n, n)
+    assert _spread_of(ed, o2n) <= _spread_of(ed, o2n_rcm)

@@ -162,3 +162,16 @@ def test_multilevel_nested_level_cuts_iterations():
                               chunk_iters=10, maxiter=1000)
     assert np.abs(np.asarray(X_n) - np.asarray(X_f)).max() < 1e-8
     assert info_n["iters"].max() <= info_f["iters"].max() * 0.6
+
+
+def test_level_meshes_for_nested_default(monkeypatch):
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.solvers.multilevel import level_meshes_for
+    m = generate_mesh(width=5.0, height=1.0, sulcus_depth=0.25,
+                      sulcus_width=0.25, mesh_size=0.1,
+                      refinement_factor=1, domain_type="sulcus")
+    lv = level_meshes_for(m)
+    assert lv[0] is m and len(lv) == 3
+    monkeypatch.setenv("FEU_ML_NESTED", "0")
+    lv0 = level_meshes_for(m)
+    assert lv0[0] is not m and len(lv0) == 2
