@@ -375,10 +375,23 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
         pass
     # shape-bucket the level systems whenever the fine system is padded:
     # unpadded level shapes would re-trace + remote-compile the whole
-    # V-cycle program per geometry in multi-mesh studies.  The coarsest
-    # level gets a small bucket (its dense inverse scales with nc^2).
+    # V-cycle program per geometry in multi-mesh studies.  Buckets are
+    # sized BY LEVEL SIZE, coarse enough that the study's 23 geometries
+    # share them: the nested fine-mesh P1 level uses the fine system's
+    # granularity, mids a 2048-dof grid, and the coarsest a 512-dof grid
+    # (its dense inverse scales with nc^2; measured: 1024-dof granular
+    # level buckets made EVERY geometry a fresh ~300 s refine-program
+    # compile in the Phase-B study).
     pad_levels = sys.ndofs > len(sys.space.dof_coords)
-    level_gran = [(1024, 2048, 256)] * (n_levels - 1) + [(256, 1024, 128)]
+
+    def _gran_for(m):
+        if m.num_cells > 20000:
+            return (8192, 4096, 512)
+        if m.num_cells > 1500:
+            return (2048, 8192, 512)
+        return (512, 2048, 256)
+
+    level_gran = [_gran_for(m) for m in level_meshes]
     lsys = []
     import contextlib
     ctx = (jax.default_device(cpu0) if cpu0 is not None
