@@ -60,15 +60,54 @@ def _phys_grads(space: FunctionSpace, invJT, degree):
     return _f(qw), G
 
 
-def stiffness_block(space: FunctionSpace, D=1.0, degree=2) -> ElementBlock:
-    """K_e[i,j] = D * int grad(phi_i).grad(phi_j) dx  (ref solvers.py:140)."""
+def _padded_cell_arrays(space: FunctionSpace, pad):
+    """Host-pad (vertices, cells, cell_dofs) to the bucket shapes so the
+    device assembly einsums compile ONCE per shape class instead of once
+    per geometry (each raw mesh has a unique cell/vertex count; measured
+    ~35 fresh XLA compiles = ~50 s per NEW geometry without this).
+
+    Dummy cells reference 3 appended unit-triangle vertices (detJ = 1,
+    so the affine inverse stays finite) and scatter into the dummy dof;
+    their element matrices are zeroed by the returned mask."""
+    T_pad, ndofs_p, dummy, V_pad = pad
     mesh = space.mesh
-    verts = _f(mesh.vertices)
-    cells = jnp.asarray(mesh.cells)
+    V = len(mesh.vertices)
+    T = len(mesh.cells)
+    verts = np.concatenate([
+        np.asarray(mesh.vertices),
+        np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+        np.zeros((V_pad - V - 3, 2))])
+    cells = np.concatenate([
+        np.asarray(mesh.cells),
+        np.tile([V, V + 1, V + 2], (T_pad - T, 1))]).astype(np.int64)
+    cd = np.concatenate([
+        np.asarray(space.cell_dofs),
+        np.full((T_pad - T, space.nd_local), dummy)]).astype(np.int64)
+    mask = np.zeros(T_pad)
+    mask[:T] = 1.0
+    return verts, cells, cd, mask, ndofs_p
+
+
+def stiffness_block(space: FunctionSpace, D=1.0, degree=2,
+                    pad=None) -> ElementBlock:
+    """K_e[i,j] = D * int grad(phi_i).grad(phi_j) dx  (ref solvers.py:140).
+
+    pad: optional (T_pad, ndofs_pad, dummy_dof, V_pad) -- assemble at
+    bucketed shapes (see _padded_cell_arrays)."""
+    mesh = space.mesh
+    if pad is None:
+        verts = _f(mesh.vertices)
+        cells = jnp.asarray(mesh.cells)
+        cd, mask, ndofs = space.cell_dofs, None, space.ndofs
+    else:
+        vh, ch, cd, mh, ndofs = _padded_cell_arrays(space, pad)
+        verts, cells, mask = _f(vh), jnp.asarray(ch), _f(mh)
     detJ, invJT = cell_geometry(verts, cells)
     qw, G = _phys_grads(space, invJT, degree)
     K = jnp.einsum("q,tqia,tqja,t->tij", qw, G, G, detJ) * D
-    return ElementBlock.build(K, space.cell_dofs, space.ndofs)
+    if mask is not None:
+        K = K * mask[:, None, None]
+    return ElementBlock.build(K, cd, ndofs)
 
 
 def mass_block(space: FunctionSpace, coeff=1.0, degree=4) -> ElementBlock:
@@ -83,25 +122,47 @@ def mass_block(space: FunctionSpace, coeff=1.0, degree=4) -> ElementBlock:
 
 
 def advection_block(space: FunctionSpace, u_values, u_space: FunctionSpace,
-                    degree=5) -> ElementBlock:
+                    degree=5, pad=None) -> ElementBlock:
     """A_e[i,j] = int (u . grad(phi_j)) phi_i dx  (ref solvers.py:43-44).
 
     ``u_values`` are interleaved vector dofs on ``u_space`` (same mesh).
+    pad: optional (T_pad, ndofs_pad, dummy_dof, V_pad) bucket shapes.
     """
     mesh = space.mesh
-    verts = _f(mesh.vertices)
-    cells = jnp.asarray(mesh.cells)
+    if pad is None:
+        verts = _f(mesh.vertices)
+        cells = jnp.asarray(mesh.cells)
+        cd, mask, ndofs = space.cell_dofs, None, space.ndofs
+        ucd = np.asarray(u_space.cell_dofs)
+        u_flat = u_values
+    else:
+        vh, ch, cd, mh, ndofs = _padded_cell_arrays(space, pad)
+        verts, cells, mask = _f(vh), jnp.asarray(ch), _f(mh)
+        T = len(mesh.cells)
+        ucd = np.concatenate([
+            np.asarray(u_space.cell_dofs),
+            np.zeros((pad[0] - T, u_space.cell_dofs.shape[1]),
+                     dtype=np.int64)])
+        # pad u host-side to a fixed-granularity bucket so the gather
+        # source shape is shared across geometries (u_space can be a
+        # larger space than `space`, e.g. P2 velocity on a P1 level)
+        u_raw = np.asarray(u_values).ravel()
+        u_np = np.zeros(-(-len(u_raw) // 16384) * 16384)
+        u_np[:len(u_raw)] = u_raw
+        u_flat = _f(u_np)
     detJ, invJT = cell_geometry(verts, cells)
     qp, qw = triangle_rule(degree)
     phi = _f(tabulate(space.element, qp))         # (Q,nd)
     gref = _f(tabulate_grad(space.element, qp))   # (Q,nd,2)
     G = jnp.einsum("tab,qib->tqia", invJT, gref)
     phi_u = _f(tabulate(u_space.element, qp))     # (Q,ndu)
-    u_cell = u_values[jnp.asarray(u_space.cell_dofs)]   # (T, 2*ndu)
+    u_cell = u_flat[jnp.asarray(ucd)]             # (T, 2*ndu)
     u_cell = u_cell.reshape(u_cell.shape[0], -1, 2)      # (T,ndu,2)
     u_q = jnp.einsum("qk,tka->tqa", phi_u, u_cell)       # (T,Q,2)
     A = jnp.einsum("q,qi,tqa,tqja,t->tij", _f(qw), phi, u_q, G, detJ)
-    return ElementBlock.build(A, space.cell_dofs, space.ndofs)
+    if mask is not None:
+        A = A * mask[:, None, None]
+    return ElementBlock.build(A, cd, ndofs)
 
 
 def vector_stiffness_block(vspace: FunctionSpace, coeff=1.0,
@@ -178,21 +239,20 @@ def _edge_tables(element, t):
 
 def robin_facet_block(space: FunctionSpace, facet_mask,
                       mu: Union[float, StepUptakeOpen, Callable],
-                      degree=4) -> ElementBlock:
+                      degree=4, pad=None) -> ElementBlock:
     """R_f[i,j] = int_f mu(x) phi_i phi_j ds  (ref solvers.py:48,79,144,208).
 
     mu may be a scalar or a vectorised callable of x (e.g. StepUptakeOpen);
     callables are evaluated at all facet quadrature points in one shot,
     replacing the reference's per-point UserExpression callback
     (parameters.py:74-81).
+    pad: optional (F_pad, ndofs_pad, dummy_dof) bucket shapes.
     """
     mesh = space.mesh
     if not np.isscalar(mu):
         degree = max(degree, 6)
     t, w = interval_rule(degree)
     sel, cells_f, le, ga, gb = _facet_data(space, facet_mask)
-    tabs = _edge_tables(space.element, t)          # (3,Q,nd)
-    phi_f = _f(tabs)[jnp.asarray(le)]              # (F,Q,nd)
     va = mesh.vertices[ga]                         # (F,2)
     vb = mesh.vertices[gb]
     lens = np.linalg.norm(vb - va, axis=1)
@@ -205,10 +265,25 @@ def robin_facet_block(space: FunctionSpace, facet_mask,
         # clamp to nonnegative like pure_diffusion_solver_variable_mu
         # (ref solvers.py:204)
         mu_q = np.maximum(mu_q, 0.0)
+    fdofs = np.asarray(space.cell_dofs)[cells_f]   # (F,nd)
+    ndofs = space.ndofs
+    if pad is not None:
+        # host-pad the facet arrays to the bucket: padding rows have
+        # zero edge length (-> exactly-zero matrices) and scatter into
+        # the dummy dof, so the device einsum compiles once per class
+        F_pad, ndofs, dummy = pad
+        padF = F_pad - len(sel)
+        le = np.concatenate([le, np.zeros(padF, dtype=le.dtype)])
+        lens = np.concatenate([lens, np.zeros(padF)])
+        mu_q = np.concatenate(
+            [mu_q, np.zeros((padF,) + mu_q.shape[1:])])
+        fdofs = np.concatenate(
+            [fdofs, np.full((padF, fdofs.shape[1]), dummy)])
+    tabs = _edge_tables(space.element, t)          # (3,Q,nd)
+    phi_f = _f(tabs)[jnp.asarray(le)]              # (F,Q,nd)
     R = jnp.einsum("q,fq,fqi,fqj,f->fij",
                    _f(w), _f(mu_q), phi_f, phi_f, _f(lens))
-    fdofs = space.cell_dofs[cells_f]               # (F,nd)
-    return ElementBlock.build(R, fdofs, space.ndofs)
+    return ElementBlock.build(R, fdofs, ndofs)
 
 
 def load_vector(space: FunctionSpace, f_callable, degree=4):

@@ -170,29 +170,6 @@ def _bucket(n, granularity=4096):
     return ((n + granularity - 1) // granularity) * granularity
 
 
-def _pad_block(b: _Block, n_entities, ndofs_padded, dummy_dof) -> _Block:
-    """Pad an element block with zero-matrix entities scattering into a
-    dummy (constrained) dof -- mathematically a no-op."""
-    import numpy as _np
-    N = b.A64.shape[0]
-    if N == n_entities and b.ndofs == ndofs_padded:
-        return b
-    nd = b.A64.shape[1]
-    A64 = jnp.concatenate(
-        [b.A64, jnp.zeros((n_entities - N, nd, nd), b.A64.dtype)], axis=0)
-    dofs = _np.concatenate(
-        [_np.asarray(b.dofs),
-         _np.full((n_entities - N, nd), dummy_dof, dtype=_np.int64)],
-        axis=0)
-    ids = dofs.ravel()
-    perm = _np.argsort(ids, kind="stable")
-    return _Block(A64=A64, A32=A64.astype(jnp.float32),
-                  dofs=jnp.asarray(dofs, dtype=jnp.int32),
-                  perm=jnp.asarray(perm, dtype=jnp.int32),
-                  ids_sorted=jnp.asarray(ids[perm], dtype=jnp.int32),
-                  ndofs=ndofs_padded)
-
-
 def _permute_block(b: _Block, old2new: np.ndarray) -> _Block:
     """Renumber a block's dofs (scatter plan rebuilt on host)."""
     dofs = old2new[np.asarray(b.dofs, dtype=np.int64)]
@@ -349,16 +326,32 @@ def build_transport_system(mesh: MeshData, element="P2",
             if hit is not None:
                 return _system_from_arrays(hit, mesh, element)
     space = FunctionSpace(mesh, element)
-    K = _from_element_block(stiffness_block(space, D=1.0))
+    bottom = mesh.bc_marker == MARKERS["bottom"]
+
+    # assemble AT the bucket shapes (host-padded inputs): every device
+    # einsum in the assembly then compiles once per shape class instead
+    # of once per raw mesh (measured ~35 fresh XLA compiles = ~50 s per
+    # NEW geometry when assembling at raw sizes; multi-geometry studies
+    # hit that for every point)
+    pad_c = pad_r = None
+    if pad_shapes:
+        g_dof, g_cell, g_facet = pad_granularity or (8192, 4096, 512)
+        ndofs_p = _bucket(space.ndofs + 1, g_dof)  # +1: dummy dof room
+        dummy = space.ndofs                        # first padding dof
+        pad_c = (_bucket(len(mesh.cells), g_cell), ndofs_p, dummy,
+                 _bucket(len(mesh.vertices) + 3, g_cell))
+        pad_r = (_bucket(int(bottom.sum()), g_facet), ndofs_p, dummy)
+
+    K = _from_element_block(stiffness_block(space, D=1.0, pad=pad_c))
     Adv = None
     if u_values is not None:
-        Adv = _from_element_block(advection_block(space, u_values, u_space))
-    bottom = mesh.bc_marker == MARKERS["bottom"]
+        Adv = _from_element_block(
+            advection_block(space, u_values, u_space, pad=pad_c))
     R = None
     if with_robin and bottom.any():
         kw = {} if robin_degree is None else {"degree": robin_degree}
         R = _from_element_block(robin_facet_block(space, bottom, mu=1.0,
-                                                  **kw))
+                                                  pad=pad_r, **kw))
     if dirichlet is None:
         dirichlet = [(MARKERS["left"], 1.0), (MARKERS["right"], 0.0)]
     bc = make_bc(space, dirichlet)
@@ -367,21 +360,14 @@ def build_transport_system(mesh: MeshData, element="P2",
     ndofs = space.ndofs
 
     if pad_shapes:
-        g_dof, g_cell, g_facet = pad_granularity or (8192, 4096, 512)
-        ndofs_p = _bucket(ndofs + 1, g_dof)   # +1: room for the dummy dof
-        dummy = ndofs                         # first padding dof
-        K = _pad_block(K, _bucket(K.A64.shape[0], g_cell), ndofs_p, dummy)
-        if Adv is not None:
-            Adv = _pad_block(Adv, _bucket(Adv.A64.shape[0], g_cell),
-                             ndofs_p, dummy)
-        if R is not None:
-            R = _pad_block(R, _bucket(R.A64.shape[0], g_facet), ndofs_p,
-                           dummy)
         pad = ndofs_p - ndofs
-        # padding dofs are constrained to 0 (identity rows, zero rhs)
-        free = jnp.concatenate([free, jnp.zeros(pad, dtype=bool)])
-        bc_values = jnp.concatenate(
-            [bc_values, jnp.zeros(pad, dtype=bc_values.dtype)])
+        # padding dofs are constrained to 0 (identity rows, zero rhs);
+        # host numpy concats (a jnp.concatenate here is a per-geometry
+        # compile)
+        free = jnp.asarray(np.concatenate(
+            [np.asarray(free), np.zeros(pad, dtype=bool)]))
+        bc_values = jnp.asarray(np.concatenate(
+            [np.asarray(bc_values), np.zeros(pad)]))
         ndofs = ndofs_p
 
     if band is None:
@@ -411,11 +397,19 @@ def build_transport_system(mesh: MeshData, element="P2",
 
 
 def robin_matrices_for_mu(sys: TransportSystem, mu, degree=None):
-    """Per-facet Robin matrices for a spatially-varying mu(x) callable."""
+    """Per-facet Robin matrices for a spatially-varying mu(x) callable.
+
+    Assembled at the system's padded facet count when sys is padded, so
+    the device einsum shape is shared across geometries and the result
+    aligns with sys.R without re-padding."""
     mesh = sys.space.mesh
     bottom = mesh.bc_marker == MARKERS["bottom"]
     kw = {} if degree is None else {"degree": degree}
-    return robin_facet_block(sys.space, bottom, mu=mu, **kw).A_e
+    pad = None
+    if sys.R is not None and sys.ndofs > sys.space.ndofs:
+        pad = (sys.R.A64.shape[0], sys.ndofs, sys.space.ndofs)
+    return robin_facet_block(sys.space, bottom, mu=mu, pad=pad,
+                             **kw).A_e
 
 
 def _solve_one_factory(sys: TransportSystem, rtol, maxiter, precision):
