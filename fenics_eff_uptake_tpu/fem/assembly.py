@@ -110,15 +110,23 @@ def stiffness_block(space: FunctionSpace, D=1.0, degree=2,
     return ElementBlock.build(K, cd, ndofs)
 
 
-def mass_block(space: FunctionSpace, coeff=1.0, degree=4) -> ElementBlock:
+def mass_block(space: FunctionSpace, coeff=1.0, degree=4,
+               pad=None) -> ElementBlock:
     mesh = space.mesh
-    verts = _f(mesh.vertices)
-    cells = jnp.asarray(mesh.cells)
+    if pad is None:
+        verts = _f(mesh.vertices)
+        cells = jnp.asarray(mesh.cells)
+        cd, mask, ndofs = space.cell_dofs, None, space.ndofs
+    else:
+        vh, ch, cd, mh, ndofs = _padded_cell_arrays(space, pad)
+        verts, cells, mask = _f(vh), jnp.asarray(ch), _f(mh)
     detJ, _ = cell_geometry(verts, cells)
     qp, qw = triangle_rule(degree)
     phi = _f(tabulate(space.element, qp))     # (Q,nd)
     M = jnp.einsum("q,qi,qj,t->tij", _f(qw), phi, phi, detJ) * coeff
-    return ElementBlock.build(M, space.cell_dofs, space.ndofs)
+    if mask is not None:
+        M = M * mask[:, None, None]
+    return ElementBlock.build(M, cd, ndofs)
 
 
 def advection_block(space: FunctionSpace, u_values, u_space: FunctionSpace,
@@ -183,15 +191,41 @@ def vector_stiffness_block(vspace: FunctionSpace, coeff=1.0,
 
 
 def divergence_block(pspace: FunctionSpace, vspace: FunctionSpace,
-                     degree=3):
+                     degree=3, pad=None):
     """B_e[k,(j,b)] = -int psi_k d_b(phi_j) dx -- the coupling B = -B_div so
     that the saddle matrix [[A, B^T],[B, 0]] matches the reference form
     a = grad(u):grad(v) - p div v - q div u (ref solvers.py:291-293).
-    """
+
+    pad: optional (T_pad, V_pad) -- assemble at bucketed cell/vertex
+    shapes (dummy cells reference appended unit-triangle vertices, get
+    zeroed matrices, and scatter into dof 0 -- a no-op)."""
     from ..ops.elemspmv import RectBlock
     mesh = vspace.mesh
-    verts = _f(mesh.vertices)
-    cells = jnp.asarray(mesh.cells)
+    if pad is None:
+        verts = _f(mesh.vertices)
+        cells = jnp.asarray(mesh.cells)
+        rd, cdv, mask = pspace.cell_dofs, vspace.cell_dofs, None
+    else:
+        T_pad, V_pad = pad
+        V = len(mesh.vertices)
+        T = len(mesh.cells)
+        vh = np.concatenate([
+            np.asarray(mesh.vertices),
+            np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+            np.zeros((V_pad - V - 3, 2))])
+        ch = np.concatenate([
+            np.asarray(mesh.cells),
+            np.tile([V, V + 1, V + 2], (T_pad - T, 1))]).astype(np.int64)
+        rd = np.concatenate([
+            np.asarray(pspace.cell_dofs),
+            np.zeros((T_pad - T, pspace.nd_local), dtype=np.int64)])
+        cdv = np.concatenate([
+            np.asarray(vspace.cell_dofs),
+            np.zeros((T_pad - T, vspace.cell_dofs.shape[1]),
+                     dtype=np.int64)])
+        mh = np.zeros(T_pad)
+        mh[:T] = 1.0
+        verts, cells, mask = _f(vh), jnp.asarray(ch), _f(mh)
     detJ, invJT = cell_geometry(verts, cells)
     qp, qw = triangle_rule(degree)
     psi = _f(tabulate(pspace.element, qp))            # (Q,np)
@@ -202,8 +236,9 @@ def divergence_block(pspace: FunctionSpace, vspace: FunctionSpace,
     B = -Bd.reshape(T, npp, 2 * ndu)                  # interleave (j,b)
     # interleaved velocity layout: col (2j+b); reshape above gives (j,b)
     # pairs in exactly that order since b is the fastest axis.
-    return RectBlock.build(B, pspace.cell_dofs, vspace.cell_dofs,
-                           pspace.ndofs, vspace.ndofs)
+    if mask is not None:
+        B = B * mask[:, None, None]
+    return RectBlock.build(B, rd, cdv, pspace.ndofs, vspace.ndofs)
 
 
 # ---------------------------------------------------------------------------

@@ -170,8 +170,17 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     ns_pad, ns_true = sysV.ndofs, sysV.space.ndofs
     iperm_v = None if sysV.iperm is None else np.asarray(sysV.iperm)
     V, Q = taylor_hood_spaces(mesh)
-    B = divergence_block(Q, V)
-    Mp = mass_block(Q)
+    # assemble the coupling/mass blocks at bucket shapes too (same
+    # rationale as build_transport_system: raw mesh sizes would compile
+    # the einsums once per geometry)
+    pad_tv = pad_q = None
+    if ns_pad != ns_true:
+        T_pad = _bucket(len(mesh.cells), 4096)
+        V_pad = _bucket(len(mesh.vertices) + 3, 4096)
+        pad_tv = (T_pad, V_pad)
+        pad_q = (T_pad, Q.ndofs + 1, Q.ndofs, V_pad)
+    B = divergence_block(Q, V, pad=pad_tv)
+    Mp = mass_block(Q, pad=pad_q)
     np_true = Q.ndofs
     np_pad = _bucket(np_true, 2048) if ns_pad != ns_true else np_true
 
@@ -184,9 +193,14 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     Gn[left_rows, 0] = 4.0 * yv * (H - yv)
     G = jnp.asarray(Gn)
 
-    # lumped pressure mass inverse (padding tail: identity)
-    Mp_op = SumOperator([Mp], Q.ndofs)
-    mp_lump = np.asarray(Mp_op.apply(jnp.ones(Q.ndofs)))
+    # lumped pressure mass inverse (padding tail: identity); lumped on
+    # the HOST (an eager device apply at the raw pressure size would be
+    # a per-geometry compile)
+    _Ae = np.asarray(Mp.A_e)
+    _cd = np.asarray(Mp.entity_dofs)
+    mp_lump = np.zeros(np_true + 1)
+    np.add.at(mp_lump, _cd.ravel(), _Ae.sum(axis=2).ravel())
+    mp_lump = mp_lump[:np_true]
     mp_inv = np.ones(np_pad)
     import os as _os
     _mp_scale = float(_os.environ.get("FEU_STOKES_MP_SCALE", "1.0"))
@@ -291,10 +305,11 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
                  x[1] + res.x[1].astype(jnp.float64))
 
     U0, p_pad = x
-    U = G + U0
+    U = np.asarray(G + U0)
     if iperm_v is not None:
-        # back to the FunctionSpace's scalar-dof numbering
-        U = U[jnp.asarray(iperm_v[:ns_true])]
+        # back to the FunctionSpace's scalar-dof numbering (host: a
+        # device gather at the raw size is a per-geometry compile)
+        U = U[iperm_v[:ns_true]]
     u_interleaved = np.asarray(U[:ns_true]).reshape(-1)
     p_out = np.asarray(p_pad[:np_true])
     u = Function(V, jnp.asarray(u_interleaved))
