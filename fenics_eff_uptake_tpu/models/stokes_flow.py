@@ -131,33 +131,41 @@ def _saddle_program(key):
     return S_fn
 
 
-def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
-                    chunk_iters=120, precision=None,
-                    level_factors=(3.0, 9.0),
-                    pin_outlet_pressure=False, pad_shapes=None):
-    """Stokes via block-preconditioned MINRES (the production path).
+class StokesSetup(NamedTuple):
+    """Everything stokes_solve_mg needs past assembly: the saddle
+    program + its argument pytrees, block preconditioners, RHS, and the
+    bookkeeping to map the solution back to FunctionSpace numbering.
+    Split out so diagnostics (scripts/diag_stokes_spectrum.py) and
+    cross-geometry batching can reuse the setup."""
+    S_fn: object
+    s64: object
+    s32: object
+    M64: object
+    M32: object
+    b: object
+    G: object
+    free_p: object
+    sysV: object
+    V: object
+    Q: object
+    ns_pad: int
+    ns_true: int
+    np_pad: int
+    np_true: int
+    iperm_v: object
+    ml: object
 
-    The saddle system is solved whole with MINRES + diag(MG(A), lumped
-    pressure mass) -- mesh-independent iteration counts (Silvester &
-    Wathen), versus the Uzawa/Schur path's 10-40k nested inner
-    iterations.  The velocity Laplacian A = kron(K_scalar, I_2) runs
-    through the scalar batch-minor element kernels with the two
-    components as a B=2 sweep batch; on TPU the bulk runs in f32 MINRES
-    passes wrapped in f64 defect correction (saddle-level mixed
-    precision).
 
-    Replaces ref solvers.py:237-306 (Taylor-Hood + direct LU).
-    """
+def _stokes_mg_setup(mesh: MeshData, H: float,
+                     level_factors=(3.0, 9.0),
+                     pin_outlet_pressure=False,
+                     pad_shapes=None) -> StokesSetup:
     import jax
     import jax.numpy as jnp
     from ..parallel.sweep import (_bucket, build_transport_system,
                                   operator_args, sys_struct_key)
-    from ..solvers.minres import minres_tree
     from ..solvers.multilevel import (build_multilevel, level_meshes_for,
                                       make_ml_preconditioner)
-
-    if precision is None:
-        precision = ("mixed" if jax.default_backend() == "tpu" else "f64")
 
     dirichlet = [(MARKERS["left"], 0.0), (MARKERS["top"], 0.0),
                  (MARKERS["bottom"], 0.0)]
@@ -271,12 +279,54 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     rp = jnp.where(free_p, rp, 0.0)   # pinned/padding dofs: p = 0
     b = (rU, rp)
 
+    return StokesSetup(S_fn=S_fn, s64=s64, s32=s32, M64=M64, M32=M32,
+                       b=b, G=G, free_p=free_p, sysV=sysV, V=V, Q=Q,
+                       ns_pad=ns_pad, ns_true=ns_true, np_pad=np_pad,
+                       np_true=np_true, iperm_v=iperm_v, ml=ml)
+
+
+def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
+                    chunk_iters=120, precision=None,
+                    level_factors=(3.0, 9.0),
+                    pin_outlet_pressure=False, pad_shapes=None):
+    """Stokes via block-preconditioned MINRES (the production path).
+
+    The saddle system is solved whole with MINRES + diag(MG(A), lumped
+    pressure mass) -- mesh-independent iteration counts (Silvester &
+    Wathen), versus the Uzawa/Schur path's 10-40k nested inner
+    iterations.  The velocity Laplacian A = kron(K_scalar, I_2) runs
+    through the scalar batch-minor element kernels with the two
+    components as a B=2 sweep batch; on TPU the bulk runs in f32 MINRES
+    passes wrapped in f64 defect correction (saddle-level mixed
+    precision).
+
+    Replaces ref solvers.py:237-306 (Taylor-Hood + direct LU).
+    """
+    import os as _os
+    import jax
+    import jax.numpy as jnp
+    from ..solvers.minres import minres_tree
+
+    if precision is None:
+        precision = ("mixed" if jax.default_backend() == "tpu" else "f64")
+
+    st = _stokes_mg_setup(mesh, H, level_factors=level_factors,
+                          pin_outlet_pressure=pin_outlet_pressure,
+                          pad_shapes=pad_shapes)
+    S_fn, s64, s32 = st.S_fn, st.s64, st.s32
+    M64, M32, b, G = st.M64, st.M32, st.b, st.G
+    ns_true, np_true = st.ns_true, st.np_true
+    iperm_v = st.iperm_v
+    V, Q = st.V, st.Q
+    rU, rp = b
+
     if precision == "f64":
         res = minres_tree((S_fn, s64), b, M=M64, rtol=rtol,
                           maxiter=maxiter, chunk_iters=chunk_iters)
         x = res.x
         total_iters = res.iters
         rn = res.true_resnorm
+        converged = bool(res.converged)  # MINRES's M-norm criterion
     else:
         # saddle-level mixed precision: f32 MINRES + f64 defect passes
         import operator as _op
@@ -303,6 +353,12 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
             total_iters += res.iters
             x = (x[0] + res.x[0].astype(jnp.float64),
                  x[1] + res.x[1].astype(jnp.float64))
+        else:
+            # loop exhausted: rn above is one pass stale; refresh it
+            SU, Sp = S_fn(s64, x)
+            rn = float(jnp.sqrt(jnp.sum((b[0] - SU) ** 2)
+                                + jnp.sum((b[1] - Sp) ** 2)))
+        converged = bool(rn <= rtol * max(bnorm, 1e-300))
 
     U0, p_pad = x
     U = np.asarray(G + U0)
@@ -315,7 +371,7 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
     u = Function(V, jnp.asarray(u_interleaved))
     p = Function(Q, jnp.asarray(p_out))
     info = {"outer_iters": int(total_iters), "inner_iters": 0,
-            "resnorm": float(rn), "converged": True,
+            "resnorm": float(rn), "converged": converged,
             "method": "minres+mg"}
     u.solver_info = info
     p.solver_info = info
@@ -341,9 +397,13 @@ def stokes_solve(mesh: MeshData, H: float,
     method = os.environ.get("FEU_STOKES", "mg")
 
     from ..utils.diskcache import cache_key_of, load_arrays, store_arrays
+    # schur-path accuracy is controlled by inner_rtol/outer_maxiter too;
+    # keep them out of the mg key so the default path stays stable
+    extra = (float(inner_rtol), int(outer_maxiter)) \
+        if method == "schur" else ()
     key = cache_key_of("stokes-v1", np.asarray(mesh.vertices),
                        np.asarray(mesh.cells), float(H),
-                       float(outer_rtol), precision, method)
+                       float(outer_rtol), precision, method, *extra)
     hit = load_arrays("stokes", key)
     if hit is not None:
         import jax.numpy as jnp
@@ -352,7 +412,8 @@ def stokes_solve(mesh: MeshData, H: float,
         p = Function(Q, jnp.asarray(hit["p"]))
         info = {"outer_iters": int(hit["outer_iters"]),
                 "inner_iters": int(hit["inner_iters"]),
-                "resnorm": float(hit["resnorm"]), "converged": True,
+                "resnorm": float(hit["resnorm"]),
+                "converged": bool(hit.get("converged", True)),
                 "method": str(hit["method"]) + "+cache"}
         u.solver_info = info
         p.solver_info = info
@@ -367,12 +428,16 @@ def stokes_solve(mesh: MeshData, H: float,
                                   outer_maxiter=outer_maxiter,
                                   precision=precision)
     info = u.solver_info
-    store_arrays("stokes", key, {
-        "u": np.asarray(u.values), "p": np.asarray(p.values),
-        "outer_iters": int(info.get("outer_iters", 0)),
-        "inner_iters": int(info.get("inner_iters", 0)),
-        "resnorm": float(info.get("resnorm", 0.0)),
-        "method": info.get("method", method)})
+    # never persist a non-converged field: a cached miss is recomputed,
+    # a cached lie is replayed forever
+    if info.get("converged", False):
+        store_arrays("stokes", key, {
+            "u": np.asarray(u.values), "p": np.asarray(p.values),
+            "outer_iters": int(info.get("outer_iters", 0)),
+            "inner_iters": int(info.get("inner_iters", 0)),
+            "resnorm": float(info.get("resnorm", 0.0)),
+            "converged": bool(info.get("converged", False)),
+            "method": info.get("method", method)})
     return u, p
 
 

@@ -680,7 +680,14 @@ def _coarse_inverse_program(key):
                 A = A + mu[b].astype(jnp.float32) * Rfix
             reg = 1e-6 * jnp.abs(jnp.diagonal(A)).mean()
             A = A + reg * jnp.eye(nc, dtype=A.dtype)
-            return ns_inv(A)
+            X = ns_inv(A)
+            # convergence certificate: ||I - A X||_max.  NS silently
+            # stagnates on operators conditioned far beyond the assumed
+            # ~1e4 (extreme D/mu ranges); surface that instead of
+            # shipping a degraded preconditioner
+            E = jnp.eye(nc, dtype=A.dtype) - jnp.matmul(
+                A, X, precision=jax.lax.Precision.HIGHEST)
+            return X, jnp.max(jnp.abs(E))
 
         return jax.lax.map(one, jnp.arange(D.shape[0]))
 
@@ -705,13 +712,22 @@ def _coarse_inverse_device(csys_d, D_vec, mu_vec, Rb):
     prog = _coarse_inverse_program(key)
     z2 = jnp.zeros((1, 1), jnp.int32)
     z3 = jnp.zeros((1, 1, 1), jnp.float32)
-    return prog(csys_d.K.dofs, csys_d.K.A32,
-                csys_d.Adv.dofs if has_adv else z2,
-                csys_d.Adv.A32 if has_adv else z3,
-                csys_d.R.dofs if has_R else z2,
-                csys_d.R.A32 if has_R else z3,
-                Rb if has_Rb else z3[None],
-                csys_d.free, jnp.asarray(D_vec), jnp.asarray(mu_vec))
+    Xs, res = prog(csys_d.K.dofs, csys_d.K.A32,
+                   csys_d.Adv.dofs if has_adv else z2,
+                   csys_d.Adv.A32 if has_adv else z3,
+                   csys_d.R.dofs if has_R else z2,
+                   csys_d.R.A32 if has_R else z3,
+                   Rb if has_Rb else z3[None],
+                   csys_d.free, jnp.asarray(D_vec), jnp.asarray(mu_vec))
+    worst = float(jnp.max(res))
+    if worst > 1e-2:
+        import warnings
+        warnings.warn(
+            f"coarse Newton-Schulz inverse degraded: max ||I-AX|| = "
+            f"{worst:.2e} over the batch (cond beyond the ~1e4 design "
+            f"point?); raise FEU_NS_ITERS or expect extra CG iterations",
+            RuntimeWarning)
+    return Xs
 
 
 # structure-keyed program cache: like parallel/sweep.py's operator

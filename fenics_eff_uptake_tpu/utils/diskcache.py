@@ -92,16 +92,18 @@ def store_arrays(tag: str, key: str, arrays: Dict[str, object]) -> None:
             payload[k] = v
         else:  # int/float scalar
             payload[_SENTINEL_PREFIX + k] = np.asarray(v)
+    tmp = None
     try:
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **payload)
         os.replace(tmp, path)
     except OSError:
-        try:
-            os.remove(tmp)
-        except Exception:
-            pass
+        if tmp is not None:
+            try:
+                os.remove(tmp)
+            except Exception:
+                pass
 
 
 def cached_arrays(tag: str, key: str,
