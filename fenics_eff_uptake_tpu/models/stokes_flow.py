@@ -156,6 +156,78 @@ class StokesSetup(NamedTuple):
     ml: object
 
 
+_KZ_PAD = 48   # fixed coarse-space width so compiled programs are
+               # shared across geometries (unused columns are zero);
+               # sized for channel AR 10 (k<~15) + cavity AR up to 20
+               # (k<~27, the very_deep_extreme / micro_width_deep
+               # geometries) within one padded shape
+
+
+def _coarse_pressure_basis(Q, H, np_true, np_pad, free_p_np, mp_lump):
+    """Coarse pressure space for the Schur-side deflation.
+
+    Dense spectral analysis (scripts/diag_stokes_spectrum.py) shows the
+    block preconditioner diag(MG(A), Mp^-1) leaves a tail of small
+    NEGATIVE eigenvalues that is (a) pure-pressure, (b) low-frequency
+    along the channel axis, (c) h-independent, and (d) scales as 1/W^2
+    with the channel width -- the classical inf-sup degradation of an
+    elongated domain (lambda_min = 2.0e-3 at W/H=10: ~420-600 MINRES
+    iterations).  Those modes are spanned by cosines in x plus the
+    sulcus-cavity indicator (the cavity communicates with the channel
+    only through the narrow mouth, giving one near-uniform cavity
+    mode).  Returns an Mp-orthonormal (np_pad, _KZ_PAD) basis, zero
+    columns beyond the kept rank.
+    """
+    pc = np.asarray(Q.dof_coords)[:np_true]
+    x, y = pc[:, 0], pc[:, 1]
+    W = max(float(np.ptp(x)), 1e-30)
+    xn = (x - x.min()) / W
+    AR = W / max(H, 1e-30)
+    # modes with Schur eigenvalue below the spectral bulk (~0.1) are
+    # roughly k <~ 0.7*AR; take margin, cap at the padded width
+    K = int(np.clip(np.ceil(1.2 * AR) + 3, 6, 20))
+    cols = [np.cos(k * np.pi * xn) for k in range(K)]
+    sul = y < -1e-12
+    if sul.any():
+        # the cavity is its own (possibly very elongated, depth >>
+        # mouth) channel in -y: give it an adaptive cosine ladder in
+        # depth plus linear-in-x enrichment (narrow mouths make the
+        # cavity pressure nearly decoupled -- its low modes are as bad
+        # as the channel's)
+        ind = sul.astype(float)
+        depth = max(float(-y.min()), 1e-30)
+        xs = x[sul]
+        wid = max(float(np.ptp(xs)) if xs.size else 0.0, 1e-30)
+        xc = float(xs.mean()) if xs.size else 0.0
+        yn = np.clip(-y / depth, 0.0, 1.0)
+        xh = (x - xc) / wid
+        K_cav = int(np.clip(np.ceil(1.2 * depth / wid) + 3, 3,
+                            _KZ_PAD - K - 7))
+        for k in range(K_cav):
+            cols.append(ind * np.cos(k * np.pi * yn))
+        for k in range(min(3, K_cav)):
+            cols.append(ind * xh * np.cos(k * np.pi * yn))
+    # inlet/outlet corner bumps: the pressure modes of the Poiseuille-
+    # inflow / no-slip corner singularities sit at the bulk's lower edge
+    # (lambda ~ 0.086, h-independent -- diag_stokes_spectrum.py); four
+    # localised gaussians lift them
+    sig = 0.15 * H
+    for cx in (x.min(), x.max()):
+        for cy in (0.0, H):
+            r2 = (x - cx) ** 2 + (y - cy) ** 2
+            cols.append(np.exp(-r2 / (2.0 * sig * sig)))
+    Z0 = np.stack(cols, axis=1)
+    Z0[~free_p_np[:np_true]] = 0.0
+    w = np.sqrt(np.clip(mp_lump, 1e-300, None))
+    Qm, Rm = np.linalg.qr(Z0 * w[:, None])
+    d = np.abs(np.diag(Rm))
+    keep = d > 1e-10 * d.max()
+    Zq = Qm[:, keep] / w[:, None]
+    Z = np.zeros((np_pad, _KZ_PAD))
+    Z[:np_true, : Zq.shape[1]] = Zq
+    return Z
+
+
 def _stokes_mg_setup(mesh: MeshData, H: float,
                      level_factors=(3.0, 9.0),
                      pin_outlet_pressure=False,
@@ -251,24 +323,12 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
     Mv64 = make_ml_preconditioner(ml, f32=False)
     Mv32 = make_ml_preconditioner(ml, f32=True)
 
-    def make_M(Mv, mp):
-        Mfn, Margs = Mv
-
-        def M(args, x):
-            U, p = x
-            return (Mfn(Margs, U), mp.astype(p.dtype) * p)
-
-        return (M, ())
-
-    M64 = make_M(Mv64, mp64)
-    M32 = make_M(Mv32, mp32)
-
     # RHS for the lifted system U = G + U0 (U0 zero on Dirichlet rows)
     free = sysV.free
     from ..parallel.sweep import _operator_program
     A_fn, rhs_fn, _, _ = _operator_program(vkey)
     rU = jnp.where(free[:, None], rhs_fn(a64, G), 0.0)
-    (Be_p, rd_p, cd_p, rperm_p, rids_p, _, _) = Bargs64
+    (Be_p, rd_p, cd_p, rperm_p, rids_p, cperm_p, cids_p) = Bargs64
     pe = G.reshape(-1)[cd_p]
     ye = jnp.einsum("nij,nj->ni", Be_p, pe,
                     precision=jax.lax.Precision.HIGHEST,
@@ -278,6 +338,79 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
         num_segments=np_pad, indices_are_sorted=True)
     rp = jnp.where(free_p, rp, 0.0)   # pinned/padding dofs: p = 0
     b = (rU, rp)
+
+    # ---- coarse Schur correction (deflation of the elongated-channel
+    # inf-sup tail; see _coarse_pressure_basis) -------------------------
+    # Galerkin-project the MG-approximated Schur complement
+    # S~ = B MG(A) B^T onto the coarse space Z, and add
+    # Z (Z^T S~ Z)^-1 Z^T to the pressure preconditioner.  The corrected
+    # modes move from O(1/AR^2) to O(1); measured: the negative interval
+    # condition drops ~323 -> ~15 at W/H=10 (diag_stokes_spectrum.py).
+    Z64 = Cinv64 = None
+    if _os.environ.get("FEU_STOKES_COARSE_P", "1") == "1":
+        Z_np = _coarse_pressure_basis(Q, H, np_true, np_pad,
+                                      free_p_np, mp_lump)
+        Z64 = jnp.asarray(Z_np)
+
+        # velocity image of each mode: V_k = mask_free(B^T z_k), through
+        # the same padded arrays the saddle operator uses
+        pz = Z64[rd_p]                         # (NB, nr, KZ)
+        yz = jnp.einsum("nij,niz->njz", Be_p, pz,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=Z64.dtype)
+        KZ = Z64.shape[1]
+        flat = yz.reshape(-1, KZ)[cperm_p]
+        VTf = jax.ops.segment_sum(flat, cids_p,
+                                  num_segments=2 * ns_pad,
+                                  indices_are_sorted=True)
+        VT = VTf.reshape(ns_pad, 2, KZ)
+        VT = jnp.where(free[:, None, None], VT, 0.0)
+
+        # one V-cycle apply per mode (each ~ one MINRES iteration's M
+        # cost; the program is the already-compiled (n, 2) cycle)
+        Mfn64, Margs64 = Mv64
+        Wcols = [Mfn64(Margs64, VT[:, :, k]) for k in range(KZ)]
+        Wm = jnp.stack(Wcols, axis=-1)          # (ns_pad, 2, KZ)
+        S_Z = np.asarray(jnp.einsum("nik,niz->kz", VT, Wm,
+                                    precision=jax.lax.Precision.HIGHEST))
+        S_Z = 0.5 * (S_Z + S_Z.T)
+        # zero (padding / rank-dropped) columns: identity diagonal so
+        # the inverse exists; their Z columns are zero so they
+        # contribute nothing to the correction
+        zero_cols = ~np.any(np.abs(Z_np) > 0.0, axis=0)
+        S_Z[zero_cols, :] = 0.0
+        S_Z[:, zero_cols] = 0.0
+        S_Z[zero_cols, zero_cols] = 1.0
+        ws, Vs = np.linalg.eigh(S_Z)
+        ws = np.clip(ws, 1e-10 * max(ws.max(), 1e-30), None)
+        # 0.3 places corrected modes just above the spectral bulk's
+        # centre instead of overshooting past 1 (measured: 132 vs 160
+        # MINRES iters at scale 0.3 vs 1.0, h=0.06 base geometry)
+        scale = float(_os.environ.get("FEU_STOKES_COARSE_SCALE", "0.3"))
+        Cinv_np = scale * (Vs / ws) @ Vs.T
+        Cinv64 = jnp.asarray(Cinv_np)
+
+    def make_M(Mv, mp, Z, Cinv):
+        Mfn, Margs = Mv
+
+        if Z is None:
+            def M(args, x):
+                U, p = x
+                return (Mfn(Margs, U), mp.astype(p.dtype) * p)
+        else:
+            def M(args, x):
+                U, p = x
+                dt = p.dtype
+                corr = Z.astype(dt) @ (Cinv.astype(dt)
+                                       @ (Z.astype(dt).T @ p))
+                return (Mfn(Margs, U), mp.astype(dt) * p + corr)
+
+        return (M, ())
+
+    M64 = make_M(Mv64, mp64, Z64, Cinv64)
+    M32 = make_M(Mv32, mp32,
+                 None if Z64 is None else Z64.astype(jnp.float32),
+                 None if Cinv64 is None else Cinv64.astype(jnp.float32))
 
     return StokesSetup(S_fn=S_fn, s64=s64, s32=s32, M64=M64, M32=M32,
                        b=b, G=G, free_p=free_p, sysV=sysV, V=V, Q=Q,

@@ -74,7 +74,7 @@ def _minres_chunk(A_fn, M_fn, n_iters):
     def chunk(a_args, m_args, state, tol):
         def body(_, st):
             (x, v_old, v, z, gam_old, gam, eta,
-             s_old, s, c_old, c, w_old, w) = st
+             s_old, s, c_old, c, w_old, w, it) = st
             active = jnp.abs(eta) > tol
             ginv = jnp.where(gam != 0, 1.0 / jnp.where(gam != 0, gam, 1.0),
                              0.0)
@@ -116,7 +116,8 @@ def _minres_chunk(A_fn, M_fn, n_iters):
                     jnp.where(active, s_new, s),
                     jnp.where(active, c, c_old),
                     jnp.where(active, c_new, c),
-                    sel(w, w_old), sel(w_new, w))
+                    sel(w, w_old), sel(w_new, w),
+                    jnp.where(active, it + 1, it))  # true iteration count
 
         st = jax.lax.fori_loop(0, n_iters, body, state)
         return st, jnp.abs(st[6])
@@ -144,7 +145,7 @@ def minres_tree(A, b, M=None, x0=None, rtol=1e-10, maxiter=2000,
     one = jnp.asarray(1.0, dtype=jnp.float64)
     zeros_vec = jax.tree.map(jnp.zeros_like, b)
     state = (x0, zeros_vec, v, z, one, gam, gam,
-             zero, zero, one, one, zeros_vec, zeros_vec)
+             zero, zero, one, one, zeros_vec, zeros_vec, zero)
 
     bnorm_prec = float(gam)
     tol = jnp.asarray(rtol * max(bnorm_prec, 1e-300), dtype=jnp.float64)
@@ -157,14 +158,18 @@ def minres_tree(A, b, M=None, x0=None, rtol=1e-10, maxiter=2000,
         chunk = _minres_chunk(A_fn, M_fn, chunk_iters)
         _CHUNK_CACHE[key] = (chunk, A_fn, M_fn)
 
-    iters = 0
+    dispatched = 0
     rn = float(gam)
     tol_f = float(tol)
-    while iters < maxiter and rn > tol_f:
+    while dispatched < maxiter and rn > tol_f:
         state, rn_dev = chunk(a_args, m_args, state, tol)
-        iters += chunk_iters
+        dispatched += chunk_iters
         rn = float(rn_dev)
     x = state[0]
+    # state[-1] counts only ACTIVE iterations (updates are masked once
+    # |eta| <= tol), so this is the true count, not the chunk-quantised
+    # dispatch total
+    iters = int(state[-1])
     true_rn = float(_norm(_axpy(-1.0, A_fn(a_args, x), b)))
     return MinresResult(x=x, iters=iters, resnorm=rn,
                         true_resnorm=true_rn, converged=rn <= tol_f)

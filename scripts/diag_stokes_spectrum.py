@@ -146,8 +146,13 @@ def main():
         vpn = vp / max(np.linalg.norm(vp), 1e-30)
         proj = basis.T @ vpn
         frac = float(np.sum(proj**2))
+        wgt = vpn**2
+        mx = float(wgt @ pc[:, 0]); my = float(wgt @ pc[:, 1])
+        sx = float(np.sqrt(wgt @ (pc[:, 0] - mx) ** 2))
+        sy = float(np.sqrt(wgt @ (pc[:, 1] - my) ** 2))
         print(f"  l={lam:+.4e}  |p|/|x|={en_p:.2f}  "
-              f"poly(x)-energy={frac:.2f}  coeffs="
+              f"poly(x)-energy={frac:.2f}  "
+              f"loc=({mx:.2f}+-{sx:.2f}, {my:.2f}+-{sy:.2f})  coeffs="
               + " ".join(f"{c:+.2f}" for c in proj))
 
 

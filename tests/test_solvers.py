@@ -179,3 +179,33 @@ def test_level_meshes_for_nested_default(monkeypatch):
     monkeypatch.setenv("FEU_ML_NESTED", "0")
     lv0 = level_meshes_for(m)
     assert lv0[0] is not m and len(lv0) == 2
+
+
+def test_stokes_coarse_pressure_deflation(monkeypatch):
+    """The coarse Schur correction (cosine-in-x + cavity-ladder + corner
+    bumps deflation; models/stokes_flow._coarse_pressure_basis) must cut
+    the MINRES iteration count substantially on an elongated channel --
+    the inf-sup tail scales as 1/AR^2 and cost ~420-600 iterations in
+    round 2 -- while producing the same flow field.
+
+    Replaces nothing in the reference (its solvers.py:291-298 is a
+    direct LU); this pins the iterative path's iteration economy.
+    """
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.models.stokes_flow import stokes_solve_mg
+
+    mesh = generate_mesh(width=10.0, height=1.0, sulcus_depth=0.25,
+                         sulcus_width=0.25, mesh_size=0.12,
+                         refinement_factor=1, domain_type="sulcus")
+    monkeypatch.setenv("FEU_STOKES_COARSE_P", "0")
+    u0, p0 = stokes_solve_mg(mesh, H=1.0, precision="f64")
+    monkeypatch.setenv("FEU_STOKES_COARSE_P", "1")
+    u1, p1 = stokes_solve_mg(mesh, H=1.0, precision="f64")
+
+    it0 = u0.solver_info["outer_iters"]
+    it1 = u1.solver_info["outer_iters"]
+    assert u1.solver_info["converged"]
+    assert it1 <= 0.75 * it0, (it0, it1)
+    du = np.abs(u1.as_numpy() - u0.as_numpy()).max()
+    scale = np.abs(u0.as_numpy()).max()
+    assert du <= 1e-7 * scale, (du, scale)
