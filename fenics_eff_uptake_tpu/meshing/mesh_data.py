@@ -137,6 +137,38 @@ class MeshData:
             "hmax": self.hmax(),
         }
 
+    def interior_sulcus_opening(self) -> Optional[InteriorFacetSet]:
+        """Interior-facet set for marker 8 (``dS(sulcus_opening)``).
+
+        The reference marks ``sulcus_opening`` with strict inequalities
+        ``xL + EPS < x < xR - EPS`` and no on_boundary restriction
+        (ref mesh.py:425-453), so on the conforming mouth line it selects
+        the *interior* y=0 facets excluding the two corner-touching ones;
+        its ``dS`` measures (ref mesh.py:721-737) integrate over exactly
+        that subset.  ``interior_y0`` holds all interior y=0 facets, so
+        marker 8 is the strict-inequality filtered view (derived lazily --
+        the reference itself only uses dS(8) for normals export, and the
+        mouth flux trace uses the full ``interior_y0`` line).
+        """
+        iy = self.interior_y0
+        if iy is None or self.geom is None:
+            return None
+        eps = 1e-12
+        xL, xR = self.geom.xL, self.geom.xR
+        # dolfin SubDomain.mark: predicate must hold at BOTH endpoints
+        # AND the midpoint; on the y=0 line that reduces to both
+        # endpoints strictly inside (xL, xR)
+        x = self.vertices[iy.edges][:, :, 0]          # (F, 2)
+        keep = ((x > xL + eps) & (x < xR - eps)).all(axis=1)
+        idx = np.flatnonzero(keep)
+        return InteriorFacetSet(
+            edges=iy.edges[idx],
+            cell_plus=iy.cell_plus[idx],
+            local_edge_plus=iy.local_edge_plus[idx],
+            cell_minus=iy.cell_minus[idx],
+            local_edge_minus=iy.local_edge_minus[idx],
+        )
+
 
 def _edge_key(a, b):
     return np.minimum(a, b).astype(np.int64) * (1 << 32) + np.maximum(a, b)

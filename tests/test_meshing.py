@@ -138,3 +138,41 @@ def test_generator_front_end():
     info = res["mesh_info"]
     assert info["num_vertices"] > 0 and info["num_cells"] > 0
     assert 0 < info["hmin"] <= info["hmax"]
+
+
+def test_interior_sulcus_opening_ds_measure():
+    """dS(sulcus_opening): marker-8 interior-facet set + its measure.
+
+    The reference builds dS measures from the bottom-segment markers
+    (ref mesh.py:721-737); marker 8's strict inequalities (mesh.py:425-453)
+    exclude the two corner-touching mouth facets that the full interior-y0
+    line includes.
+    """
+    md = generate_mesh(width=5.0, height=1.0, sulcus_depth=1.0,
+                       sulcus_width=0.5, mesh_size=0.1,
+                       refinement_factor=1, domain_type="sulcus")
+    s8 = md.interior_sulcus_opening()
+    iy = md.interior_y0
+    assert s8 is not None and iy is not None
+    # strict-inequality filter: exactly the two corner-touching facets drop
+    assert len(s8) == len(iy) - 2
+    v = md.vertices
+    x8 = v[s8.edges][:, :, 0]
+    eps = 1e-12
+    assert (x8 > md.geom.xL + eps).all() and (x8 < md.geom.xR - eps).all()
+    # the dS measure over marker 8: total length = mouth width minus the
+    # two excluded corner facets
+    from fenics_eff_uptake_tpu.fem.space import FunctionSpace
+    from fenics_eff_uptake_tpu.analysis.facets import build_facet_quad
+    space = FunctionSpace(md, "P1")
+    quad = build_facet_quad(space, s8.cell_plus, s8.local_edge_plus)
+    d8 = v[s8.edges[:, 1]] - v[s8.edges[:, 0]]
+    expect = float(np.abs(d8[:, 0]).sum())
+    total = float(quad.total_length)
+    assert abs(total - expect) < 1e-12
+    mouth = md.geom.xR - md.geom.xL
+    assert total < mouth < total + 4 * md.hmax()
+    # '+' side is the channel cell; its outward normal points into the
+    # cavity (downward)
+    n = np.asarray(quad.normal)
+    assert (n[:, 1] < -0.99).all()

@@ -209,3 +209,27 @@ def test_stokes_coarse_pressure_deflation(monkeypatch):
     du = np.abs(u1.as_numpy() - u0.as_numpy()).max()
     scale = np.abs(u0.as_numpy()).max()
     assert du <= 1e-7 * scale, (du, scale)
+
+def test_twolevel_fallback_preconditioner():
+    """solvers/twolevel.py stays live: passing coarse_mesh (no multilevel)
+    to solve_sweep builds the two-level preconditioner fallback and
+    converges to the Jacobi answer with fewer iterations."""
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.parallel.sweep import (
+        build_transport_system, solve_sweep)
+
+    kw = dict(width=5.0, height=1.0, sulcus_depth=0.25, sulcus_width=0.25,
+              refinement_factor=1, domain_type="sulcus")
+    mesh = generate_mesh(mesh_size=0.15, **kw)
+    coarse = generate_mesh(mesh_size=0.45, **kw)
+    sys_t = build_transport_system(mesh, element="P2", pad_shapes=False)
+    mus = np.array([0.1, 1.0, 10.0])
+    D = np.ones_like(mus)
+    X_tl, info_tl = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-12,
+                                precision="f64", coarse_mesh=coarse,
+                                chunk_iters=20, maxiter=4000)
+    X_j, info_j = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-12,
+                              precision="f64", chunk_iters=100,
+                              maxiter=20000)
+    assert np.abs(np.asarray(X_tl) - np.asarray(X_j)).max() < 1e-8
+    assert info_tl["iters"].max() < info_j["iters"].max()
