@@ -27,7 +27,8 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["element_apply_pallas", "use_pallas"]
+__all__ = ["element_apply_pallas", "use_pallas", "band_apply_pallas",
+           "use_band_pallas"]
 
 
 def use_pallas():
@@ -62,16 +63,136 @@ def element_apply_pallas(A_e, Xe, coef, tile=512):
     coef2 = coef.reshape(1, B).astype(Xe.dtype)
 
     interpret = jax.default_backend() != "tpu"
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((Tp, nd, B), Xe.dtype),
-        grid=(Tp // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, nd, nd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tile, nd, B), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, B), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((tile, nd, B), lambda i: (i, 0, 0)),
-        interpret=interpret,
-    )(A_e.astype(Xe.dtype), Xe, coef2)
+    # x64-enabled tracing leaks i64 index constants into Mosaic's memref
+    # slices, which its verifier rejects ("failed to legalize
+    # func.return" / "must be 32-bit signless integer") -- trace the
+    # kernel with x64 off (all operands are f32/i32 regardless)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _kernel,
+            out_shape=jax.ShapeDtypeStruct((Tp, nd, B), Xe.dtype),
+            grid=(Tp // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, nd, nd), lambda i: (i, 0, 0)),
+                pl.BlockSpec((tile, nd, B), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, B), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tile, nd, B), lambda i: (i, 0, 0)),
+            interpret=interpret,
+        )(A_e.astype(Xe.dtype), Xe, coef2)
     return out[:T]
+
+
+# ---------------------------------------------------------------------------
+# Banded-dense tile matvec: Y[t] = band[t] @ X[window(t)]  on the MXU.
+#
+# The XLA formulation (ops/banded.py band_apply: 2*halo+1 shifted batched
+# matmuls) runs fine standalone but faults the axon TPU worker when inlined
+# into the V-cycle preconditioner program (PERFORMANCE.md round-2 catalogue).
+# This kernel expresses the same contraction as ONE (R, W) @ (W, B) dot per
+# 128-row tile, with the X window double-buffer DMA'd from HBM -- a different
+# lowering path that sidesteps the faulting XLA pattern and removes the
+# shifted-copy materialisation.
+#
+# No reference counterpart: the reference delegates SpMV to PETSc
+# (ref solvers.py:55,151); this is the TPU-native assembled-operator apply.
+# ---------------------------------------------------------------------------
+
+
+def use_band_pallas():
+    """Pallas banded apply inside jitted solver programs (default ON on
+    TPU; FEU_BAND_PALLAS=0 restores the XLA shifted-matmul form)."""
+    return os.environ.get("FEU_BAND_PALLAS", "1") == "1"
+
+
+def _band_kernel_factory(R, W, T):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(band_ref, x_hbm, coef_ref, y_ref, xwin, sems):
+        t = pl.program_id(0).astype(jnp.int32)
+        slot = jax.lax.rem(t, jnp.asarray(2, jnp.int32))
+        nslot = jax.lax.rem(t + jnp.asarray(1, jnp.int32),
+                            jnp.asarray(2, jnp.int32))
+
+        zero = jnp.asarray(0, jnp.int32)
+
+        @pl.when(t == 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(zero, W), :], xwin.at[zero],
+                sems.at[zero]).start()
+
+        @pl.when(t + 1 < T)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds((t + 1) * R, W), :], xwin.at[nslot],
+                sems.at[nslot]).start()
+
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(t * R, W), :], xwin.at[slot],
+            sems.at[slot]).wait()
+        y = jax.lax.dot_general(
+            band_ref[0], xwin[slot], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        y_ref[:, :] = (y * coef_ref[0, :][None, :]).astype(y_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_apply_pallas(band, X, coef=None, interpret=None):
+    """Y = A @ X from the (T, R, W) band form, as a Pallas TPU kernel.
+
+    band: (T, R, W) with W = (2*halo+1)*R; X: (T*R, B); coef: optional
+    (B,) per-column scaling fused into the output.  Matches
+    ops.banded.band_apply in structure (same HIGHEST-precision f32
+    contraction); interpret mode off-TPU so CPU tests cover it.
+
+    The batch dim is padded to the 128-lane tile inside the kernel: the
+    HBM buffer of an (n, B) array is physically lane-padded to 128
+    anyway, and Mosaic requires DMA slices lane-aligned -- the pad makes
+    the physical traffic explicit without adding any.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, R, W = band.shape
+    halo = (W // R - 1) // 2
+    n, B = X.shape
+    dt = X.dtype
+    if coef is None:
+        coef = jnp.ones((B,), dt)
+    Bp = ((B + 127) // 128) * 128
+    coef2 = jnp.pad(coef.reshape(1, B).astype(dt), ((0, 0), (0, Bp - B)))
+    # zero halo pad (window reads in-bounds) + lane pad (DMA alignment)
+    Xp = jnp.pad(X.astype(band.dtype),
+                 ((halo * R, halo * R), (0, Bp - B)))
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # x64-enabled tracing leaks i64 index constants into Mosaic memref
+    # slices (verifier rejects them); trace with x64 off -- operands are
+    # f32/i32 regardless
+    with jax.enable_x64(False):
+        Y = pl.pallas_call(
+            _band_kernel_factory(R, W, T),
+            out_shape=jax.ShapeDtypeStruct((n, Bp), dt),
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, R, W), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, Bp), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, Bp), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, W, Bp), band.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(band, Xp, coef2)
+    return Y[:, :B]

@@ -630,6 +630,10 @@ def _args_block_apply(ba: _BlockArgs, ndofs: int, X, coef=None,
                       A_batch=None):
     """_Block.apply_batched with the arrays taken from arguments."""
     if ba.band is not None and A_batch is None:
+        from ..ops.pallas_kernels import (band_apply_pallas,
+                                          use_band_pallas)
+        if use_band_pallas() and jax.default_backend() == "tpu":
+            return band_apply_pallas(ba.band, X, coef=coef)
         from ..ops.banded import band_apply
         return band_apply(ba.band, X, coef=coef)
     blk = _Block(A64=ba.A, A32=ba.A, dofs=ba.dofs, perm=ba.perm,

@@ -502,20 +502,24 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
                else np.asarray(robin_matrices_fine, dtype=np.float32))
     mid_dinv_d = mid_dinv
     if cpu0 is not None and jax.default_backend() != "cpu":
-        # level bands stay HOST-side: banded applies inside M are
-        # disabled by default (remote-compiler fault, see
-        # make_ml_preconditioner) and the mid-level band is ~85% of the
-        # payload bytes (12.6 MB at h=0.06).  FEU_ML_BAND=1 still works
-        # via auto-transfer at argument time.
+        # With banded applies in M (FEU_ML_BAND=1, the Pallas-kernel
+        # default path on TPU) the level bands are V-cycle hot-path
+        # arrays: ship them with the payload.  Otherwise they stay
+        # HOST-side -- the element-path V-cycle never reads them and the
+        # mid-level band is ~85% of the payload bytes (12.6 MB at
+        # h=0.06).
+        ship_bands = _ml_band_in_M()
         bands = [(s.Kband, s.Advband) for s in lsys]
-        lsys = [s._replace(Kband=None, Advband=None) for s in lsys]
+        if not ship_bands:
+            lsys = [s._replace(Kband=None, Advband=None) for s in lsys]
         lsys, transfers, mid_dinv_d, rbf_f32, Rb_f32 = (
             _ship_to_default_device(
                 (lsys, transfers, mid_dinv_d, rbf_f32, Rb_f32)))
-        lsys = [s._replace(
-            Kband=None if kb is None else np.asarray(kb),
-            Advband=None if ab is None else np.asarray(ab))
-            for s, (kb, ab) in zip(lsys, bands)]
+        if not ship_bands:
+            lsys = [s._replace(
+                Kband=None if kb is None else np.asarray(kb),
+                Advband=None if ab is None else np.asarray(ab))
+                for s, (kb, ab) in zip(lsys, bands)]
     _tick('ship MG payload to device (one put)')
 
     # levels: fine + all mids (the coarsest is the dense solve, no smooth)
@@ -783,6 +787,22 @@ def _ml_cycle():
     return os.environ.get("FEU_ML_CYCLE", "mult")
 
 
+def _ml_band_in_M():
+    """Whether the V-cycle's level applies run in banded (MXU tile
+    matvec) form.  The XLA shifted-matmul band apply faults the remote
+    TPU worker inside the V-cycle program (round-2 catalogue), but the
+    Pallas tile-matvec kernel (ops/pallas_kernels.band_apply_pallas)
+    compiles and runs there (round 3) -- so banding in M defaults ON
+    exactly when the Pallas path would be taken; FEU_ML_BAND overrides
+    in either direction."""
+    import os
+    v = os.environ.get("FEU_ML_BAND")
+    if v is not None:
+        return v == "1"
+    from ..ops.pallas_kernels import use_band_pallas
+    return use_band_pallas() and jax.default_backend() == "tpu"
+
+
 def _ml_struct_key(ml: MultilevelData, f32: bool):
     from ..parallel.sweep import sys_struct_key
     lv = tuple(
@@ -1019,11 +1039,6 @@ def make_ml_preconditioner(ml: MultilevelData, f32=True):
     fn is cached by structure so Krylov chunks compile once per shape
     bucket and are reused across mu batches, meshes, and studies.
     """
-    # Banded applies inside the V-cycle program fault the remote TPU
-    # compiler/worker at study scale (the banded CG *operator* is fine;
-    # bisected round 2).  Element-path V-cycle by default; FEU_ML_BAND=1
-    # re-enables banding in M once the runtime stabilises.
-    import os
-    band = os.environ.get("FEU_ML_BAND", "0") == "1"
+    band = _ml_band_in_M()
     apply = _ml_program(_ml_struct_key(ml, f32))
     return (apply, ml_preconditioner_args(ml, f32=f32, band=band))

@@ -200,6 +200,25 @@ def test_band_apply_unit():
                                rtol=1e-6)
 
 
+def test_band_apply_pallas_matches_xla():
+    """The Pallas tile-matvec kernel (interpret mode on CPU) must match
+    the XLA shifted-matmul band apply."""
+    from fenics_eff_uptake_tpu.ops.pallas_kernels import band_apply_pallas
+    rng = np.random.default_rng(7)
+    T, R, halo, B = 6, 8, 2, 5
+    W = (2 * halo + 1) * R
+    band = jnp.asarray(rng.standard_normal((T, R, W)), jnp.float32)
+    X = jnp.asarray(rng.standard_normal((T * R, B)), jnp.float32)
+    coef = jnp.asarray(rng.standard_normal(B), jnp.float32)
+    Y0 = band_apply(band, X, coef=coef)
+    Y1 = band_apply_pallas(band, X, coef=coef, interpret=True)
+    scale = float(jnp.abs(Y0).max())
+    assert float(jnp.abs(Y0 - Y1).max()) / scale < 1e-5
+    Y0n = band_apply(band, X)
+    Y1n = band_apply_pallas(band, X, interpret=True)
+    assert float(jnp.abs(Y0n - Y1n).max()) / scale < 1e-5
+
+
 def test_diskcache_roundtrip(tmp_path, monkeypatch):
     from fenics_eff_uptake_tpu.utils import diskcache as dc
     monkeypatch.setenv("FEU_CACHE_DIR", str(tmp_path))
