@@ -66,8 +66,11 @@ def element_apply_pallas(A_e, Xe, coef, tile=512):
     # x64-enabled tracing leaks i64 index constants into Mosaic's memref
     # slices, which its verifier rejects ("failed to legalize
     # func.return" / "must be 32-bit signless integer") -- trace the
-    # kernel with x64 off (all operands are f32/i32 regardless)
-    with jax.enable_x64(False):
+    # kernel with x64 off when lowering for TPU.  Interpret mode has no
+    # Mosaic verifier and must keep x64 on: disabling it silently
+    # truncates f64 operands while out_shape stays f64, which the
+    # interpreter rejects at the ref store.
+    with jax.enable_x64(interpret and jax.config.jax_enable_x64):
         out = pl.pallas_call(
             _kernel,
             out_shape=jax.ShapeDtypeStruct((Tp, nd, B), Xe.dtype),
@@ -173,9 +176,10 @@ def band_apply_pallas(band, X, coef=None, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # x64-enabled tracing leaks i64 index constants into Mosaic memref
-    # slices (verifier rejects them); trace with x64 off -- operands are
-    # f32/i32 regardless
-    with jax.enable_x64(False):
+    # slices (verifier rejects them); trace with x64 off when lowering
+    # for TPU.  Interpret mode keeps the caller's x64 setting (see
+    # element_apply_pallas).
+    with jax.enable_x64(interpret and jax.config.jax_enable_x64):
         Y = pl.pallas_call(
             _band_kernel_factory(R, W, T),
             out_shape=jax.ShapeDtypeStruct((n, Bp), dt),

@@ -742,6 +742,11 @@ def _jacobi_M(m_args, R):
     return m_args[0] * R
 
 
+def _ml_band_in_M_default():
+    from ..solvers.multilevel import _ml_band_in_M
+    return _ml_band_in_M()
+
+
 def _refine_program(struct_key, M_fn, n_iters):
     key = (struct_key, id(M_fn), n_iters)
     hit = _REFINE_CACHE.get(key)
@@ -852,23 +857,26 @@ def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10):
             return Dx, cit
 
         def cond_outer(st):
-            k, X, rn, tot = st
+            k, X, R64, rn, tot = st
             return (k < max_passes) & jnp.any(rn > tol)
 
+        # the f64 residual CARRIES between passes (X is unchanged from
+        # the end of pass k to the start of pass k+1, so recomputing it
+        # would repeat the previous pass's closing apply): ONE f64
+        # element apply per pass plus the opening one.
         def body_outer(st):
-            k, X, rn, tot = st
-            R64 = RHS - A_fn(a64, X)
+            k, X, R64, rn, tot = st
             Dx, cit = inner(R64)
             X = X + Dx.astype(jnp.float64)
             R64n = RHS - A_fn(a64, X)
             rn = jnp.sqrt(jnp.sum(R64n * R64n, axis=0))
-            return (k + 1, X, rn, tot + cit.astype(jnp.int64))
+            return (k + 1, X, R64n, rn, tot + cit.astype(jnp.int64))
 
         R0 = RHS - A_fn(a64, X0)
         rn0 = jnp.sqrt(jnp.sum(R0 * R0, axis=0))
-        k, X, rn, tot = jax.lax.while_loop(
+        k, X, R64, rn, tot = jax.lax.while_loop(
             cond_outer, body_outer,
-            (jnp.asarray(0, jnp.int32), X0, rn0,
+            (jnp.asarray(0, jnp.int32), X0, R0, rn0,
              jnp.zeros(B, dtype=jnp.int64)))
         return X, rn, tot, k
 
@@ -1106,12 +1114,31 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
             # runtime stabilises.
             import os as _os2
             M32_fn, m32_args = M32
-            if _os2.environ.get("FEU_FUSED_SOLVE", "0") == "1":
+            # inner f32 residual-reduction target per refinement pass.
+            # Measured at h=0.02/B=20: 1e-6 does NOT shrink the pass
+            # count (the f32 recurrence floor forces a third confirming
+            # pass anyway) and costs ~4 extra iterations -- 1e-4 in
+            # three shallow passes is the optimum.
+            inner_rtol = float(_os2.environ.get("FEU_INNER_RTOL",
+                                                "1e-4"))
+            # The fully-fused solve (outer defect loop in-program, ONE
+            # dispatch per solve) faulted the TPU worker with the
+            # element-path V-cycle (round 2), but compiles and runs with
+            # the Pallas banded M (round 3): solve 1.13 -> 0.88 s at
+            # identical iterations/residuals.  Default ON exactly in
+            # that configuration; FEU_FUSED_SOLVE overrides either way.
+            fused_default = (multilevel is not None
+                             and jax.default_backend() == "tpu"
+                             and _ml_band_in_M_default())
+            if _os2.environ.get(
+                    "FEU_FUSED_SOLVE",
+                    "1" if fused_default else "0") == "1":
                 solve_prog = _mixed_solve_program(
                     sys_struct_key(sys), M32_fn,
                     n_iters=min(300, maxiter))
                 X, rn_dev, tot, passes = solve_prog(
-                    a64, a32, m32_args, RHS, X, jnp.asarray(tol), 1e-4)
+                    a64, a32, m32_args, RHS, X, jnp.asarray(tol),
+                    inner_rtol)
                 resnorm = np.asarray(rn_dev)
                 total_iters = np.asarray(tot, dtype=np.int64)
             else:
@@ -1120,7 +1147,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                 tol_dev = jnp.asarray(tol)
                 for _ref in range(12):
                     X, rn_dev, cit = refine(a64, a32, m32_args, RHS, X,
-                                            tol_dev, 1e-4)
+                                            tol_dev, inner_rtol)
                     resnorm = np.asarray(rn_dev)
                     total_iters += np.asarray(cit, dtype=np.int64)
                     _tt = _t(f"refine {_ref}: "
