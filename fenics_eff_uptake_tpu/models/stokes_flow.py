@@ -80,6 +80,36 @@ def _pad_rect_args(B, ns_pad, np_pad, NB_pad, iperm_v=None):
             jnp.asarray(c_ids[c_perm], dtype=jnp.int32))
 
 
+_SADDLE_M_CACHE = {}
+
+
+def _saddle_M_program(Mfn, with_Z):
+    """Block-diagonal saddle preconditioner fn, cached on the velocity
+    V-cycle program so it (and the MINRES chunk compiled against it) is
+    reused across geometries: (Margs, mp[, Z, Cinv]) all arrive as
+    arguments.  Applies diag(MG(A), mp + Z Cinv Z^T) to (U, p)."""
+    key = (id(Mfn), bool(with_Z))
+    hit = _SADDLE_M_CACHE.get(key)
+    if hit is not None and hit[1] is Mfn:
+        return hit[0]
+
+    if with_Z:
+        def M(args, x):
+            margs, mp, Z, Cinv = args
+            U, p = x
+            dt = p.dtype
+            corr = Z.astype(dt) @ (Cinv.astype(dt) @ (Z.astype(dt).T @ p))
+            return (Mfn(margs, U), mp.astype(dt) * p + corr)
+    else:
+        def M(args, x):
+            margs, mp = args
+            U, p = x
+            return (Mfn(margs, U), mp.astype(p.dtype) * p)
+
+    _SADDLE_M_CACHE[key] = (M, Mfn)
+    return M
+
+
 def _saddle_program(key):
     """Stable saddle-operator program: [[A, B^T],[B, 0]] on
     (U (ns_pad, 2) scalar-layout velocity, p (np_pad,)) pytrees.
@@ -238,6 +268,18 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
                                   operator_args, sys_struct_key)
     from ..solvers.multilevel import (build_multilevel, level_meshes_for,
                                       make_ml_preconditioner)
+    import os as _os
+    import time as _time
+    _timing = _os.environ.get("FEU_TIMING", "0") == "1"
+    _t0 = _time.perf_counter()
+
+    def _t(label):
+        nonlocal _t0
+        if _timing:
+            now = _time.perf_counter()
+            print(f"  [stokes setup] {label}: {now - _t0:.2f}s",
+                  flush=True)
+            _t0 = now
 
     dirichlet = [(MARKERS["left"], 0.0), (MARKERS["top"], 0.0),
                  (MARKERS["bottom"], 0.0)]
@@ -247,6 +289,7 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
     sysV = build_transport_system(mesh, element="P2", with_robin=False,
                                   dirichlet=dirichlet,
                                   pad_shapes=pad_shapes)
+    _t("velocity system")
     ns_pad, ns_true = sysV.ndofs, sysV.space.ndofs
     iperm_v = None if sysV.iperm is None else np.asarray(sysV.iperm)
     V, Q = taylor_hood_spaces(mesh)
@@ -261,6 +304,7 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
         pad_q = (T_pad, Q.ndofs + 1, Q.ndofs, V_pad)
     B = divergence_block(Q, V, pad=pad_tv)
     Mp = mass_block(Q, pad=pad_q)
+    _t("coupling/mass blocks")
     np_true = Q.ndofs
     np_pad = _bucket(np_true, 2048) if ns_pad != ns_true else np_true
 
@@ -290,6 +334,7 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
 
     # multigrid hierarchy on the velocity Laplacian (B=2 components)
     mids = level_meshes_for(mesh, level_factors)
+    _t("level meshes")
     D2 = np.ones(2)
     ml = build_multilevel(sysV, mids, D2, mu_values=np.zeros(2),
                           dirichlet=dirichlet, with_robin=False)
@@ -320,6 +365,7 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
     s64 = (a64, Bargs64, free_p)
     s32 = (a32, Bargs32, free_p)
 
+    _t("multilevel build")
     Mv64 = make_ml_preconditioner(ml, f32=False)
     Mv32 = make_ml_preconditioner(ml, f32=True)
 
@@ -338,6 +384,7 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
         num_segments=np_pad, indices_are_sorted=True)
     rp = jnp.where(free_p, rp, 0.0)   # pinned/padding dofs: p = 0
     b = (rU, rp)
+    _t("lift/rhs")
 
     # ---- coarse Schur correction (deflation of the elongated-channel
     # inf-sup tail; see _coarse_pressure_basis) -------------------------
@@ -366,13 +413,19 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
         VT = VTf.reshape(ns_pad, 2, KZ)
         VT = jnp.where(free[:, None, None], VT, 0.0)
 
-        # one V-cycle apply per mode (each ~ one MINRES iteration's M
-        # cost; the program is the already-compiled (n, 2) cycle)
-        Mfn64, Margs64 = Mv64
-        Wcols = [Mfn64(Margs64, VT[:, :, k]) for k in range(KZ)]
+        # one V-cycle apply per mode through the f32 cycle -- the SAME
+        # (n, 2) program the mixed-precision MINRES passes run, so no
+        # extra compile (the f64 cycle would compile only for this) and
+        # each apply is a fast f32 dispatch.  f32 mode images are ample
+        # for a PRECONDITIONER basis: S_Z entries carry ~1e-7 relative
+        # noise against an approximation already ~O(1) from MG(A)~A.
+        Mfn32, Margs32 = Mv32
+        VT32 = VT.astype(jnp.float32)
+        Wcols = [Mfn32(Margs32, VT32[:, :, k]) for k in range(KZ)]
         Wm = jnp.stack(Wcols, axis=-1)          # (ns_pad, 2, KZ)
-        S_Z = np.asarray(jnp.einsum("nik,niz->kz", VT, Wm,
-                                    precision=jax.lax.Precision.HIGHEST))
+        S_Z = np.asarray(jnp.einsum(
+            "nik,niz->kz", VT, Wm.astype(jnp.float64),
+            precision=jax.lax.Precision.HIGHEST))
         S_Z = 0.5 * (S_Z + S_Z.T)
         # zero (padding / rank-dropped) columns: identity diagonal so
         # the inverse exists; their Z columns are zero so they
@@ -389,23 +442,20 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
         scale = float(_os.environ.get("FEU_STOKES_COARSE_SCALE", "0.3"))
         Cinv_np = scale * (Vs / ws) @ Vs.T
         Cinv64 = jnp.asarray(Cinv_np)
+        _t("coarse Schur deflation")
 
     def make_M(Mv, mp, Z, Cinv):
+        # every array travels in m_args, NOT the closure: closure
+        # constants get baked into the MINRES chunk's HLO, which (a)
+        # recompiles per geometry and (b) at h<=0.02 pushed the program
+        # over the axon remote-compile request limit (HTTP 413) once the
+        # deflation basis Z joined.  The fn itself is cached on the
+        # velocity-cycle program so minres_tree's id-keyed chunk cache
+        # is shared by every mesh in the same shape bucket.
         Mfn, Margs = Mv
-
-        if Z is None:
-            def M(args, x):
-                U, p = x
-                return (Mfn(Margs, U), mp.astype(p.dtype) * p)
-        else:
-            def M(args, x):
-                U, p = x
-                dt = p.dtype
-                corr = Z.astype(dt) @ (Cinv.astype(dt)
-                                       @ (Z.astype(dt).T @ p))
-                return (Mfn(Margs, U), mp.astype(dt) * p + corr)
-
-        return (M, ())
+        M = _saddle_M_program(Mfn, with_Z=Z is not None)
+        args = (Margs, mp) if Z is None else (Margs, mp, Z, Cinv)
+        return (M, args)
 
     M64 = make_M(Mv64, mp64, Z64, Cinv64)
     M32 = make_M(Mv32, mp32,
@@ -468,7 +518,10 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
         x = (jnp.zeros_like(rU), jnp.zeros_like(rp))
         total_iters = 0
         rn = bnorm
-        for _ in range(8):
+        _timing = _os.environ.get("FEU_TIMING", "0") == "1"
+        import time as _time
+        _tp = _time.perf_counter()
+        for _pass in range(8):
             SU, Sp = S_fn(s64, x)
             r = (b[0] - SU, b[1] - Sp)
             rn = float(jnp.sqrt(
@@ -486,6 +539,11 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
             total_iters += res.iters
             x = (x[0] + res.x[0].astype(jnp.float64),
                  x[1] + res.x[1].astype(jnp.float64))
+            if _timing:
+                _now = _time.perf_counter()
+                print(f"  [stokes solve] pass {_pass}: {res.iters} iters "
+                      f"in {_now - _tp:.2f}s (rn={rn:.2e})", flush=True)
+                _tp = _now
         else:
             # loop exhausted: rn above is one pass stale; refresh it
             SU, Sp = S_fn(s64, x)

@@ -129,8 +129,12 @@ def build_band_plan(entity_dofs: np.ndarray, ndofs: int,
     # quantise the halo to a short menu: W enters every banded program's
     # shape, so a per-geometry halo would recompile the full solver
     # stack per geometry class in multi-mesh studies (minutes each on
-    # the remote TPU compiler)
-    for h in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
+    # the remote TPU compiler).  The menu is deliberately SPARSE around
+    # the study-scale range: h=0.02 sulcus meshes straddle halo 3/4, and
+    # carrying both shapes recompiled the Stokes MINRES chunk (~60-90 s)
+    # for half the geometries -- one padded-out halo costs ~25% more
+    # band zeros but compiles once (round-3 profile_stokes.py).
+    for h in (1, 2, 4, 8, 16, 32):
         if h >= halo:
             halo = h
             break

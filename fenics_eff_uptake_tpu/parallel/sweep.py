@@ -237,7 +237,8 @@ def _system_cache_key(mesh, element, u_values, u_space, robin_degree,
     from ..utils.diskcache import cache_key_of
     import os as _os
     return cache_key_of(
-        "tsys-v2", np.asarray(mesh.vertices), np.asarray(mesh.cells),
+        "tsys-v3",   # v3: sparser band-halo menu (ops/banded.py)
+        np.asarray(mesh.vertices), np.asarray(mesh.cells),
         np.asarray(mesh.bc_marker), element,
         None if u_values is None else np.asarray(u_values),
         None if u_space is None else (u_space.element, u_space.vs),

@@ -8,10 +8,11 @@ import os
 
 import numpy as np
 
-from .style import Config, latexify_label, safe_plot
+from .style import Config, add_value_labels, latexify_label, safe_plot
 
 __all__ = ["plot_configuration_comparison", "plot_aspect_ratio_comparison",
-           "save_summary"]
+           "plot_flux_comparison", "plot_mu_eff_comparison",
+           "plot_mu_eff_ratios_comparison", "save_summary"]
 
 
 def _get(results, *path, default=None):
@@ -21,6 +22,119 @@ def _get(results, *path, default=None):
             return default
         cur = cur[p]
     return cur
+
+
+def _mode_of(results_dict):
+    for r in results_dict.values():
+        p = (r or {}).get("params")
+        if p is not None:
+            return getattr(p, "mode", None)
+    return None
+
+
+def _clean(name):
+    return name.replace("_", " ").title()
+
+
+def _grouped_bars(ax, names, series):
+    """series: list of (label, values) with len(values) == len(names)."""
+    x = np.arange(len(names))
+    nh = max(len(series), 1)
+    w = 0.8 / nh
+    for k, (label, vals) in enumerate(series):
+        vals = [v if v is not None else np.nan for v in vals]
+        ax.bar(x + (k - (nh - 1) / 2) * w, vals, width=w, label=label)
+    ax.set_xticks(x)
+    ax.set_xticklabels([_clean(n) for n in names], rotation=45,
+                       ha="right", fontsize=8)
+    if len(series) > 1:
+        ax.legend(fontsize=Config.FONT_SIZE_LEGEND
+                  if hasattr(Config, "FONT_SIZE_LEGEND") else 8)
+
+
+def plot_flux_comparison(results_dict, plots_dir):
+    """Physical vs uptake flux magnitude per configuration, grouped
+    (ref plotting.py:778-805: Physical/Uptake hue pair; the Uptake bar
+    is dropped in no-uptake mode exactly as the reference does)."""
+    os.makedirs(plots_dir, exist_ok=True)
+    names = list(results_dict.keys())
+    mode = _mode_of(results_dict)
+    phys = [abs(v) if (v := _get(r, "flux_metrics", "physical_flux",
+                                 "bottom", "total")) is not None else None
+            for r in results_dict.values()]
+    series = [("Physical", phys)]
+    if mode != "no-uptake":
+        upt = [abs(v) if (v := _get(r, "flux_metrics",
+                                    "uptake_flux")) is not None else None
+               for r in results_dict.values()]
+        series.append(("Uptake", upt))
+    if not any(v is not None for _, vals in series for v in vals):
+        return
+    with safe_plot(os.path.join(plots_dir, "flux_comparison"),
+                   figsize=Config.FIGSIZE_WIDE) as (fig, ax):
+        _grouped_bars(ax, names, series)
+        ax.set_title("Flux comparison"
+                     + (f" -- {mode}" if mode else ""))
+        ax.set_ylabel("flux magnitude")
+        add_value_labels(ax, mode="simple")
+
+
+_MU_EFF_METHODS = [
+    ("Simulation (Full)", "mu_eff_sim", "sim"),
+    ("Simulation (Opening)", "mu_eff_open", "open"),
+    ("Analytical", "mu_eff_arc", "arc"),
+    ("Enhanced", "mu_eff_enh", "enh"),
+]
+
+
+def plot_mu_eff_comparison(results_dict, plots_dir):
+    """mu_eff per configuration, grouped by estimator
+    (ref plotting.py:855-894; the reference reads alias keys
+    mu_eff_simulation_full/_segmented its analysis never emits -- the
+    real emitted keys are sim/open/arc/enh, plotted here)."""
+    os.makedirs(plots_dir, exist_ok=True)
+    if _mode_of(results_dict) == "no-uptake":
+        return
+    names = list(results_dict.keys())
+    series = []
+    for label, key, _ in _MU_EFF_METHODS:
+        vals = [_get(r, "mu_eff_comparison", key)
+                for r in results_dict.values()]
+        if any(v is not None for v in vals):
+            series.append((label, vals))
+    if not series:
+        return
+    with safe_plot(os.path.join(plots_dir, "mu_eff_comparison"),
+                   figsize=Config.FIGSIZE_WIDE) as (fig, ax):
+        _grouped_bars(ax, names, series)
+        ax.set_title(latexify_label(
+            r"$\mu_{\mathrm{eff}}$ comparison across configurations"))
+        ax.set_ylabel(latexify_label(
+            r"effective uptake rate $\mu_{\mathrm{eff}}$"))
+
+
+def plot_mu_eff_ratios_comparison(results_dict, plots_dir):
+    """mu_eff/mu ratios per configuration, grouped by estimator, with
+    the ideal-1.0 line (ref plotting.py:899-937)."""
+    os.makedirs(plots_dir, exist_ok=True)
+    if _mode_of(results_dict) == "no-uptake":
+        return
+    names = list(results_dict.keys())
+    series = []
+    for label, _, rkey in _MU_EFF_METHODS:
+        vals = [_get(r, "mu_eff_comparison", "ratios", rkey)
+                for r in results_dict.values()]
+        if any(v is not None for v in vals):
+            series.append((label, vals))
+    if not series:
+        return
+    with safe_plot(os.path.join(plots_dir, "mu_eff_ratios_comparison"),
+                   figsize=Config.FIGSIZE_WIDE) as (fig, ax):
+        _grouped_bars(ax, names, series)
+        ax.axhline(1.0, color="gray", ls="--", lw=1, alpha=0.7)
+        ax.set_title(latexify_label(
+            r"$\mu_{\mathrm{eff}}/\mu$ ratio comparison"))
+        ax.set_ylabel(latexify_label(r"ratio $\mu_{\mathrm{eff}}/\mu$"))
 
 
 def plot_configuration_comparison(results_dict, plots_dir):
@@ -59,6 +173,11 @@ def plot_configuration_comparison(results_dict, plots_dir):
     if any(v is not None for v in mue):
         bars("compare_mu_eff_sim", mue,
              "μ_eff^sim by configuration", "μ_eff")
+    plot_flux_comparison(results_dict, plots_dir)
+    plot_mu_eff_comparison(results_dict, plots_dir)
+    plot_mu_eff_ratios_comparison(results_dict, plots_dir)
+    save_summary(results_dict,
+                 os.path.join(plots_dir, "comparison_summary.json"))
 
 
 def plot_aspect_ratio_comparison(results_dict, plots_dir):

@@ -22,7 +22,48 @@ from ..parallel.sweep import build_transport_system, solve_sweep
 from ..simulation import get_coarse_mesh, get_mesh
 
 __all__ = ["make_no_adv_params", "no_adv_batch", "create_study_dirs",
-           "save_csv", "save_metadata"]
+           "save_csv", "save_metadata", "shard_spec"]
+
+
+def shard_spec():
+    """FEU_SHARD=<ndev> (+ FEU_SHARD_TP=<tp>, default 2) routes study
+    transport solves through the production shard_map path
+    (parallel/sharded_solve.py): sweep x cells device mesh, cells-
+    partitioned operator + psum, MG preconditioner under shard_map.
+    Returns (n_devices, tp) or None.  Study drivers expose this as
+    --shard/--tp (single-host demonstration runs on virtual CPU
+    devices; the same code path is the multi-chip TPU deployment)."""
+    v = os.environ.get("FEU_SHARD")
+    if not v or v == "0":
+        return None
+    return int(v), int(os.environ.get("FEU_SHARD_TP", "2"))
+
+
+def _sharded_batch_solve(mesh, D_batch, mus, rtol, maxiter, nd, tp):
+    """One geometry's mu batch through sharded_solve_sweep; the sweep
+    batch is padded up to a multiple of the data-parallel degree and
+    sliced back.  Returns (X (B, ndofs) in space layout, info, space)."""
+    from ..parallel.sharded_solve import (build_sharded_system,
+                                          sharded_solve_sweep)
+    from ..parallel.sharding import make_device_mesh
+    from ..solvers.multilevel import build_multilevel_for
+
+    # unpadded shapes: the sharded operator partitions raw cell/dof
+    # counts across devices (tests/test_parallel.py pins this path)
+    sys_t = build_transport_system(mesh, element="P2", pad_shapes=False)
+    B = len(mus)
+    dp = max(nd // tp, 1)
+    Bp = ((B + dp - 1) // dp) * dp
+    mus_p = list(mus) + [mus[-1]] * (Bp - B)
+    D_p = list(D_batch) + [D_batch[-1]] * (Bp - B)
+    # the MG coarse inverses are per-sample: build at the PADDED batch
+    ml = build_multilevel_for(sys_t, mesh, D_p, mu_values=mus_p)
+    dev_mesh = make_device_mesh(nd, tp=tp)
+    ss = build_sharded_system(sys_t, dev_mesh, multilevel=ml)
+    X, info = sharded_solve_sweep(ss, D_p, mus_p, rtol=rtol,
+                                  chunk_iters=20, maxiter=maxiter)
+    info = {k: v[:B] for k, v in info.items()}
+    return X[:B], info, sys_t.space
 
 
 def make_no_adv_params(mu_factor=1.0, sulci_w_dim=None, sulci_h_dim=None,
@@ -53,22 +94,27 @@ def no_adv_batch(geom_params: Parameters, mu_factors: List[float],
     """
     t0 = time.time()
     mesh = get_mesh(geom_params, domain_type)
-    sys = build_transport_system(mesh, element="P2")
     # nondimensional mu* values for this sweep
     scale = geom_params.H_dim / geom_params.D_dim
     mus = [Parameters.MU_DIM_NO_ADV * f * scale for f in mu_factors]
     D_batch = [geom_params.D] * len(mus)
-    from ..solvers.multilevel import build_multilevel_for
-    ml = build_multilevel_for(sys, mesh, D_batch, mu_values=mus)
-    X, info = solve_sweep(sys, D_batch, mu_values=mus, rtol=rtol,
-                          maxiter=maxiter, multilevel=ml)
+    shard = shard_spec()
+    if shard is not None:
+        X, info, space = _sharded_batch_solve(
+            mesh, D_batch, mus, rtol, maxiter, *shard)
+    else:
+        sys = build_transport_system(mesh, element="P2")
+        from ..solvers.multilevel import build_multilevel_for
+        ml = build_multilevel_for(sys, mesh, D_batch, mu_values=mus)
+        X, info = solve_sweep(sys, D_batch, mu_values=mus, rtol=rtol,
+                              maxiter=maxiter, multilevel=ml)
+        space = sys.space
     if verbose:
         print(f"  [batch] {domain_type} "
               f"w={geom_params.sulci_w_dim} h={geom_params.sulci_h_dim}: "
               f"{len(mus)} solves in {time.time() - t0:.2f}s "
-              f"(iters={info['iters'].tolist()})")
-
-    space = sys.space
+              f"(iters={info['iters'].tolist()}"
+              + (f", shard={shard}" if shard else "") + ")")
     params_list = [
         make_no_adv_params(
             f, sulci_w_dim=geom_params.sulci_w_dim,

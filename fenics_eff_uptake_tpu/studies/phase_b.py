@@ -169,11 +169,40 @@ def main(argv=None):
                     default="run")
     ap.add_argument("--mesh-size", type=float, default=0.02)
     ap.add_argument("--output-base", default=None)
+    ap.add_argument("--geometries", default=None,
+                    help="comma-separated geometry keys (default: all)")
+    ap.add_argument("--shard", type=int, default=0, metavar="N",
+                    help="run solves sharded over an N-device mesh "
+                         "(parallel/sharded_solve.py).  On a single-TPU "
+                         "host this provisions N virtual CPU devices; "
+                         "on a TPU pod the same path runs over real "
+                         "chips.")
+    ap.add_argument("--tp", type=int, default=2,
+                    help="cells-partition (tensor-parallel) degree of "
+                         "the device mesh; sweep parallelism is N/tp")
     args = ap.parse_args(argv)
+    if args.shard:
+        _provision_shard_devices(args.shard, args.tp)
+    geoms = (args.geometries.split(",") if args.geometries else None)
     if args.command == "run":
-        run_no_adv_mu_sweep(args.output_base, args.mesh_size)
+        run_no_adv_mu_sweep(args.output_base, args.mesh_size,
+                            geometries=geoms)
     else:
         replot_from_csv(args.output_base)
+
+
+def _provision_shard_devices(n, tp):
+    """Set FEU_SHARD routing and, when the host lacks n devices, force
+    the CPU backend with n virtual devices (must precede first jax use;
+    mirrors __graft_entry__.dryrun_multichip's self-provisioning)."""
+    import jax
+    os.environ["FEU_SHARD"] = str(n)
+    os.environ["FEU_SHARD_TP"] = str(tp)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+        jax.config.update("jax_platforms", "cpu")
 
 
 if __name__ == "__main__":

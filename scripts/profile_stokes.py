@@ -17,7 +17,8 @@ def main():
     jax = setup(x64=True)
 
     from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
-    from fenics_eff_uptake_tpu.models.stokes_flow import stokes_solve
+    from fenics_eff_uptake_tpu.models.stokes_flow import (stokes_solve,
+                                                          stokes_solve_mg)
 
     kw = dict(width=10.0, height=1.0, sulcus_depth=0.25,
               sulcus_width=0.25, mesh_size=MESH_SIZE,
@@ -26,24 +27,29 @@ def main():
     print(f"cells={mesh.num_cells}", flush=True)
 
     t0 = time.time()
-    u, p = stokes_solve(mesh, H=1.0)
+    u, p = stokes_solve_mg(mesh, H=1.0)
     jax.block_until_ready(u.values)
-    print(f"stokes cold: {time.time()-t0:.1f}s", flush=True)
+    print(f"stokes cold (solver, no disk-cache replay): "
+          f"{time.time()-t0:.1f}s iters={u.solver_info['outer_iters']}",
+          flush=True)
 
     t0 = time.time()
     u, p = stokes_solve(mesh, H=1.0)
     jax.block_until_ready(u.values)
-    print(f"stokes warm (same mesh): {time.time()-t0:.1f}s", flush=True)
-
-    # a second geometry (same size bucket): measures per-geometry cost
-    # in a study process with warm compiled programs
-    kw2 = dict(kw, sulcus_depth=0.5, sulcus_width=0.5)
-    mesh2 = generate_mesh(**kw2)
-    t0 = time.time()
-    u2, p2 = stokes_solve(mesh2, H=1.0)
-    jax.block_until_ready(u2.values)
-    print(f"stokes warm (new geometry, cells={mesh2.num_cells}): "
+    print(f"stokes warm (same mesh, checkpoint path): "
           f"{time.time()-t0:.1f}s", flush=True)
+
+    # further geometries (same size bucket): per-geometry cost in a
+    # study process with warm compiled programs, disk cache BYPASSED
+    for depth, width in ((0.5, 0.5), (0.8, 0.4)):
+        kw2 = dict(kw, sulcus_depth=depth, sulcus_width=width)
+        mesh2 = generate_mesh(**kw2)
+        t0 = time.time()
+        u2, p2 = stokes_solve_mg(mesh2, H=1.0)
+        jax.block_until_ready(u2.values)
+        print(f"stokes warm (new geometry, cells={mesh2.num_cells}): "
+              f"{time.time()-t0:.1f}s "
+              f"iters={u2.solver_info['outer_iters']}", flush=True)
 
 
 if __name__ == "__main__":

@@ -90,5 +90,32 @@ def test_comparison_and_summary(sim_results, tmp_path):
     rd = {"cfg_a": sim_results, "cfg_b": sim_results}
     plot_configuration_comparison(rd, str(tmp_path))
     assert os.path.exists(tmp_path / "compare_total_mass.png")
+    # ref plotting.py:778-1090 panel parity (grouped flux / mu_eff /
+    # mu_eff-ratio comparisons + in-dir summary JSON)
+    assert os.path.exists(tmp_path / "flux_comparison.png")
+    assert os.path.exists(tmp_path / "mu_eff_comparison.png")
+    assert os.path.exists(tmp_path / "mu_eff_ratios_comparison.png")
+    assert os.path.exists(tmp_path / "comparison_summary.json")
     s = save_summary(rd, str(tmp_path / "summary.json"))
     assert s["cfg_a"]["mu_eff_sim"] is not None
+
+
+def test_comparison_no_uptake_drops_uptake_panels(sim_results, tmp_path):
+    """In no-uptake mode the uptake bar and mu_eff panels are omitted
+    (ref plotting.py:793,884,922 early returns)."""
+    from fenics_eff_uptake_tpu.plotting.comparison import (
+        plot_flux_comparison, plot_mu_eff_comparison,
+        plot_mu_eff_ratios_comparison)
+
+    class PNoU:
+        mode = "no-uptake"
+
+    r = dict(sim_results)
+    r["params"] = PNoU
+    rd = {"cfg": r}
+    plot_flux_comparison(rd, str(tmp_path))
+    plot_mu_eff_comparison(rd, str(tmp_path))
+    plot_mu_eff_ratios_comparison(rd, str(tmp_path))
+    assert os.path.exists(tmp_path / "flux_comparison.png")
+    assert not os.path.exists(tmp_path / "mu_eff_comparison.png")
+    assert not os.path.exists(tmp_path / "mu_eff_ratios_comparison.png")

@@ -32,6 +32,29 @@ def test_phase_b_subset(tmp_path):
     assert (df["flux_ratio"] > 0.8).all() and (df["flux_ratio"] < 1.1).all()
 
 
+def test_phase_b_sharded_matches_unsharded(tmp_path, monkeypatch):
+    """--shard routes Phase-B solves through the production shard_map
+    path; every CSV row must match the single-process run at <=1e-8
+    (VERDICT round-2 item 2: study-scale multichip demonstration)."""
+    from fenics_eff_uptake_tpu.studies.phase_b import run_no_adv_mu_sweep
+    df_ref = run_no_adv_mu_sweep(
+        output_base=str(tmp_path / "ref"), mesh_size_dim=COARSE,
+        mu_factors=[0.1, 1.0], geometries=["reference"], verbose=False)
+    clear_mesh_cache()
+    monkeypatch.setenv("FEU_SHARD", "8")
+    monkeypatch.setenv("FEU_SHARD_TP", "2")
+    df_sh = run_no_adv_mu_sweep(
+        output_base=str(tmp_path / "sh"), mesh_size_dim=COARSE,
+        mu_factors=[0.1, 1.0], geometries=["reference"], verbose=False)
+    assert len(df_sh) == len(df_ref) == 2
+    for col in ("CR", "flux_ratio", "avg_conc_sulc", "avg_conc_rect",
+                "flux_sulc_y0", "flux_rect_bottom"):
+        a = df_ref[col].to_numpy()
+        b = df_sh[col].to_numpy()
+        rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-300)
+        assert rel.max() < 1e-8, (col, rel)
+
+
 def test_phase_a_mu_sweep_small(tmp_path):
     from fenics_eff_uptake_tpu.studies import phase_a
     df = phase_a.run_mu_sweep(mesh_size_dim=COARSE,
