@@ -203,6 +203,10 @@ def _provision_shard_devices(n, tp):
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={n}").strip()
         jax.config.update("jax_platforms", "cpu")
+        # committed study artifacts are f64-converged (max_rel_resnorm
+        # ~1e-12); the virtual-CPU demonstration must match them, so
+        # enable x64 (a real TPU pod run inherits the env instead)
+        jax.config.update("jax_enable_x64", True)
 
 
 if __name__ == "__main__":
