@@ -14,7 +14,6 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem.assembly import cell_geometry
 from ..fem.elements import _EDGE_VERTS, _REF_VERTS, tabulate, tabulate_grad
 from ..fem.quadrature import interval_rule
 from ..fem.space import FunctionSpace
@@ -101,13 +100,23 @@ def build_facet_quad(space: FunctionSpace, cells_f, local_edges,
     tabs = np.stack(tabs)    # (3,Q,nd)
     gtabs = np.stack(gtabs)  # (3,Q,nd,2)
 
-    phi = jnp.asarray(tabs)[jnp.asarray(le)]        # (F,Q,nd)
-    gref = jnp.asarray(gtabs)[jnp.asarray(le)]      # (F,Q,nd,2)
+    # all table-building stays in host NumPy: every mesh has unique facet
+    # counts, so eager jnp gathers here would trigger fresh XLA compiles
+    # per geometry (measured ~85 compiles = 3-9 s/geometry host-side, and
+    # minutes through the remote TPU compiler in multi-geometry studies)
+    phi = tabs[le]                                   # (F,Q,nd)
+    gref = gtabs[le]                                 # (F,Q,nd,2)
 
-    _, invJT = cell_geometry(jnp.asarray(mesh.vertices),
-                             jnp.asarray(mesh.cells))
-    invJT_f = invJT[jnp.asarray(cells_f)]           # (F,2,2)
-    grad = jnp.einsum("fab,fqib->fqia", invJT_f, gref)
+    pv = np.asarray(mesh.vertices)[np.asarray(mesh.cells)[cells_f]]
+    d1 = pv[:, 1] - pv[:, 0]
+    d2 = pv[:, 2] - pv[:, 0]
+    detJ = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    inv = np.stack([
+        np.stack([d2[:, 1], -d2[:, 0]], axis=-1),
+        np.stack([-d1[:, 1], d1[:, 0]], axis=-1),
+    ], axis=1) / detJ[:, None, None]
+    invJT_f = np.swapaxes(inv, 1, 2)                 # (F,2,2)
+    grad = np.einsum("fab,fqib->fqia", invJT_f, gref)
 
     # geometry: endpoints in _EDGE_VERTS order for x; cyclic order for normal
     lv = np.array([_EDGE_VERTS[i] for i in range(3)])[le]    # (F,2)
@@ -128,9 +137,9 @@ def build_facet_quad(space: FunctionSpace, cells_f, local_edges,
 
     return FacetQuad(
         cells=jnp.asarray(cells_f),
-        phi=phi, grad=grad, x=x,
+        phi=jnp.asarray(phi), grad=jnp.asarray(grad), x=x,
         normal=jnp.asarray(n),
         length=jnp.asarray(lens),
         qw=jnp.asarray(w),
-        cell_dofs=jnp.asarray(space.cell_dofs)[jnp.asarray(cells_f)],
+        cell_dofs=jnp.asarray(np.asarray(space.cell_dofs)[cells_f]),
     )

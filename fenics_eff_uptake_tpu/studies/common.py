@@ -129,9 +129,14 @@ def no_adv_batch(geom_params: Parameters, mu_factors: List[float],
     from ..analysis.batched_metrics import (build_sweep_metrics,
                                             metrics_to_dicts)
     import jax.numpy as jnp
+    t1 = time.time()
     sm = build_sweep_metrics(space, mesh, D=geom_params.D)
+    t2 = time.time()
     flux_list, mass_list, mueff_list = metrics_to_dicts(
         sm, mesh, jnp.asarray(X), mus, geom_params.D, params_list)
+    if verbose and os.environ.get("FEU_STUDY_TIMERS"):
+        print(f"    [timers] solve={t1 - t0:.2f}s metrics_build="
+              f"{t2 - t1:.2f}s metrics_dispatch={time.time() - t2:.2f}s")
 
     out = []
     for i, f in enumerate(mu_factors):
