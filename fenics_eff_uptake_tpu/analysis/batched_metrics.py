@@ -47,7 +47,17 @@ class SweepMetrics(NamedTuple):
 
 
 def _bucket(n, g=256):
-    return ((n + g - 1) // g) * g
+    """Power-of-two shape menu (>= g): the metrics program compiles once
+    per DISTINCT combination of ~9 facet-set sizes + the cell count, so
+    fine-grained padding still gave nearly every geometry its own
+    program (one remote TPU compile each, ~10 s/geometry of study tail).
+    A geometric menu collapses the 23 study geometries into a handful of
+    classes at <= 2x einsum padding waste on a once-per-geometry kernel.
+    """
+    m = g
+    while m < n:
+        m *= 2
+    return m
 
 
 class _FQArgs(NamedTuple):
