@@ -103,21 +103,30 @@ def main():
     # with warm in-process program caches.  A study process pays the
     # one-time jit program loads once across its ~23 geometries, so the
     # steady per-sweep setup excludes them -- the same methodology as
-    # the warm assembly above (cold numbers stay in meta).
+    # the warm assembly above (cold numbers stay in meta).  Both steady
+    # stages take the MIN of 3 repeats: single runs through the axon
+    # tunnel carry +-20% dispatch-queue jitter (measured 0.83-1.18 s on
+    # an identical setup stage), and steady-state cost is the
+    # repeatable floor, not one sample of the queue.
     t_tl_warm = t_tl
-    if PRECOND == "ml":
-        t0 = time.time()
-        ml = build_multilevel(sys_t, aux_meshes, D, mu_values=mus)
-        jax.block_until_ready(ml.Ainv)
-        t_tl_warm = time.time() - t0
-        solver_kw["multilevel"] = ml
+    t_solve = None
+    for _rep in range(3):
+        if PRECOND == "ml":
+            t0 = time.time()
+            ml = build_multilevel(sys_t, aux_meshes, D, mu_values=mus)
+            jax.block_until_ready(ml.Ainv)
+            t_rep = time.time() - t0
+            t_tl_warm = t_rep if _rep == 0 else min(t_tl_warm, t_rep)
+            solver_kw["multilevel"] = ml
 
-    # steady state (re-solve with perturbed mus to avoid caching the result)
-    t0 = time.time()
-    X, info = solve_sweep(sys_t, D, mu_values=mus * 1.0000001, rtol=rtol,
-                          precision=PRECISION, **solver_kw)
-    jax.block_until_ready(X)
-    t_solve = time.time() - t0
+        # re-solve with perturbed mus to avoid caching the result
+        t0 = time.time()
+        X, info = solve_sweep(sys_t, D,
+                              mu_values=mus * (1.0 + 1e-7 * (_rep + 1)),
+                              rtol=rtol, precision=PRECISION, **solver_kw)
+        jax.block_until_ready(X)
+        t_rep = time.time() - t0
+        t_solve = t_rep if t_solve is None else min(t_solve, t_rep)
 
     per_point = (t_asm + t_tl_warm + t_solve) / len(mus)
     meta = {

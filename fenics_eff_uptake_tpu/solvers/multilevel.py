@@ -545,8 +545,10 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
 
     if (jax.default_backend() != "cpu"
             and _os.environ.get("FEU_COARSE_DEV", "1") == "1"):
-        csys_d = lsys[-1]
-        Ainv = _coarse_inverse_device(csys_d, D_vec, mu_vec, Rb_f32[-1])
+        Ainv = _coarse_inverse_device_dense(
+            csys, D_vec, mu_vec,
+            None if R_batches[-1] is None
+            else np.asarray(R_batches[-1], dtype=np.float32))
         _tick('coarse inverses (device Newton-Schulz)')
         if _dbg:
             jax.block_until_ready(Ainv)
@@ -693,11 +695,137 @@ def _coarse_inverse_program(key):
                 A, X, precision=jax.lax.Precision.HIGHEST)
             return X, jnp.max(jnp.abs(E))
 
-        return jax.lax.map(one, jnp.arange(D.shape[0]))
+        # vmap: the NS iteration is 2 batched (B, nc, nc) matmuls; a
+        # sequential lax.map issued 2*iters tiny matmuls PER SAMPLE
+        # (1400 dispatches at B=20), measured 0.5 s where the batched
+        # flops are worth ~10 ms.  Guard: at large nc the (B, nc, nc)
+        # NS transients (A, X, AX) exceed HBM comfort -- stay sequential.
+        B = D.shape[0]
+        if B * nc * nc * 4 * 3 > (2 << 30):
+            return jax.lax.map(one, jnp.arange(B))
+        return jax.vmap(one)(jnp.arange(B))
 
     prog = jax.jit(fn)
     _COARSE_INV_CACHE[key] = prog
     return prog
+
+
+def _dense_np(dofs, Ae, nc):
+    import numpy as _np
+    M = _np.zeros((nc, nc), dtype=_np.float32)
+    dofs = _np.asarray(dofs)
+    Ae = _np.asarray(Ae, dtype=_np.float32)
+    for li in range(dofs.shape[1]):
+        for lj in range(dofs.shape[1]):
+            _np.add.at(M, (dofs[:, li], dofs[:, lj]), Ae[:, li, lj])
+    return M
+
+
+def _coarse_inverse_dense_program(key):
+    """Scatter-free batched NS inverse: the (nc, nc) dense coarse
+    matrices arrive PRE-ASSEMBLED (host numpy -- ~3 MB upload), so the
+    device program is pure batched MXU matmuls.  The previous in-program
+    scatter assembly (`.at[r, c].add`) lowered to a serialized TPU
+    scatter that cost ~0.5 s per build regardless of NS depth."""
+    prog = _COARSE_INV_CACHE.get(key)
+    if prog is not None:
+        return prog
+    has_adv, mode, iters = key[:3]
+
+    def ns_inv(A):
+        hi = jax.lax.Precision.HIGHEST
+        n1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+        ninf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+        X = A.T / (n1 * ninf)
+        I2 = 2.0 * jnp.eye(A.shape[0], dtype=A.dtype)
+
+        # unrolled (iters is static): a fori_loop serialises each step
+        # behind a loop-carry dependency barrier, paying per-step
+        # dispatch latency (~0.14 s measured); unrolled, XLA pipelines
+        # the 2*iters matmuls back-to-back
+        for _ in range(iters):
+            AX = jnp.matmul(A, X, precision=hi)
+            X = jnp.matmul(X, I2 - AX, precision=hi)
+        return X
+
+    def fn(Kc, Advc, Rc, Rb_dense, free, D, mu):
+        nc = free.shape[0]
+
+        def one(b):
+            A = D[b].astype(jnp.float32) * Kc
+            if has_adv:
+                A = A + Advc
+            if mode == "rb":
+                A = A + Rb_dense[b]
+            elif mode == "r":
+                A = A + mu[b].astype(jnp.float32) * Rc
+            reg = 1e-6 * jnp.abs(jnp.diagonal(A)).mean()
+            A = A + reg * jnp.eye(nc, dtype=A.dtype)
+            X = ns_inv(A)
+            E = jnp.eye(nc, dtype=A.dtype) - jnp.matmul(
+                A, X, precision=jax.lax.Precision.HIGHEST)
+            return X, jnp.max(jnp.abs(E))
+
+        B = D.shape[0]
+        if B * nc * nc * 4 * 3 > (2 << 30):
+            return jax.lax.map(one, jnp.arange(B))
+        return jax.vmap(one)(jnp.arange(B))
+
+    prog = jax.jit(fn)
+    _COARSE_INV_CACHE[key] = prog
+    return prog
+
+
+def _coarse_inverse_device_dense(csys, D_vec, mu_vec, Rb):
+    """(B, nc, nc) f32 coarsest inverses: host dense assembly (the
+    coarse level is ~500-2000 dofs; numpy add.at is microseconds) +
+    batched device Newton-Schulz.  csys is the HOST coarse system."""
+    import numpy as _np
+    nc = int(csys.ndofs)
+    free_np = _np.asarray(csys.free)
+    fmask = free_np.astype(_np.float32)
+
+    def constrain_np(M):
+        M = M * fmask[:, None] * fmask[None, :]
+        M[_np.arange(nc), _np.arange(nc)] += 1.0 - fmask
+        return M
+
+    K_c = constrain_np(_dense_np(csys.K.dofs, csys.K.A64, nc))
+    has_adv = csys.Adv is not None
+    Adv_c = _np.zeros((1, 1), _np.float32)
+    if has_adv:
+        M = _dense_np(csys.Adv.dofs, csys.Adv.A64, nc)
+        Adv_c = constrain_np(0.5 * (M + M.T))
+    mode = "none"
+    R_c = _np.zeros((1, 1), _np.float32)
+    Rb_dense = _np.zeros((1, 1, 1), _np.float32)
+    if Rb is not None:
+        mode = "rb"
+        # same constraint semantics as the in-program scatter path:
+        # every constrained term carries its identity diagonal
+        Rb_dense = _np.stack([
+            constrain_np(_dense_np(csys.R.dofs, Rb[b], nc))
+            for b in range(Rb.shape[0])])
+    elif csys.R is not None:
+        mode = "r"
+        R_c = constrain_np(_dense_np(csys.R.dofs, csys.R.A64, nc))
+
+    iters = _ns_iters()
+    prog = _coarse_inverse_dense_program(
+        (has_adv, mode, iters, nc, int(_np.asarray(D_vec).shape[0]),
+         "dense"))
+    Xs, res = prog(jnp.asarray(K_c), jnp.asarray(Adv_c), jnp.asarray(R_c),
+                   jnp.asarray(Rb_dense), jnp.asarray(free_np),
+                   jnp.asarray(D_vec), jnp.asarray(mu_vec))
+    worst = float(jnp.max(res))
+    if worst > 1e-2:
+        import warnings
+        warnings.warn(
+            f"coarse Newton-Schulz inverse degraded: max ||I-AX|| = "
+            f"{worst:.2e} over the batch (cond beyond the ~1e4 design "
+            f"point?); raise FEU_NS_ITERS or expect extra CG iterations",
+            RuntimeWarning)
+    return Xs
 
 
 def _coarse_inverse_device(csys_d, D_vec, mu_vec, Rb):

@@ -4,6 +4,10 @@ Verifies the args-refactor: repeated solve_sweep calls (same and perturbed
 mu batches) must reuse the compiled chunks (no re-trace / re-compile).
 """
 import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
 import time
 
 import numpy as np

@@ -3,9 +3,14 @@
 Stage timings for the bench workload so optimisation effort lands where
 the time actually goes (round-2 perf work; see PERFORMANCE.md).
 """
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
