@@ -135,9 +135,16 @@ def _band_kernel_factory(R, W, T):
         pltpu.make_async_copy(
             x_hbm.at[pl.ds(t * R, W), :], xwin.at[slot],
             sems.at[slot]).wait()
+        # bf16 operands take the native single-pass MXU mode: Mosaic
+        # rejects fp32 contract precision on bf16 inputs, and the 6-pass
+        # decomposition is the point of AVOIDING when the caller chose
+        # bf16 (V-cycle preconditioner applies)
+        prec = (jax.lax.Precision.DEFAULT
+                if band_ref.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
         y = jax.lax.dot_general(
             band_ref[0], xwin[slot], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
             preferred_element_type=jnp.float32)
         y_ref[:, :] = (y * coef_ref[0, :][None, :]).astype(y_ref.dtype)
 

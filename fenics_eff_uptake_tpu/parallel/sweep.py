@@ -802,12 +802,19 @@ def _refine_program(struct_key, M_fn, n_iters):
     return refine
 
 
-def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10):
+def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10,
+                         x0_lift=False):
     """The ENTIRE mixed-precision solve as one device dispatch: an outer
     f64 defect-correction while_loop, each pass an early-exit f32
     preconditioned-CG while_loop.  Only the final X and (B,) diagnostics
-    cross the host boundary."""
-    key = ("mixed", struct_key, id(M_fn), n_iters, max_passes)
+    cross the host boundary.
+
+    x0_lift: X0 is the Dirichlet lifting vector (zero on every free
+    dof), so the opening residual is analytically where(free, RHS, 0)
+    -- this skips one f64 element apply, the single most expensive
+    dispatch in the program (~62 ms at 1e5 dofs: the f64 gather/
+    scatter path has no banded/MXU form)."""
+    key = ("mixed", struct_key, id(M_fn), n_iters, max_passes, x0_lift)
     hit = _REFINE_CACHE.get(key)
     if hit is not None and hit[0] is M_fn:
         return hit[1]
@@ -873,7 +880,11 @@ def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10):
             rn = jnp.sqrt(jnp.sum(R64n * R64n, axis=0))
             return (k + 1, X, R64n, rn, tot + cit.astype(jnp.int64))
 
-        R0 = RHS - A_fn(a64, X0)
+        if x0_lift:
+            free = a64[3]
+            R0 = jnp.where(free[:, None], RHS, 0.0)
+        else:
+            R0 = RHS - A_fn(a64, X0)
         rn0 = jnp.sqrt(jnp.sum(R0 * R0, axis=0))
         k, X, R64, rn, tot = jax.lax.while_loop(
             cond_outer, body_outer,
@@ -1136,7 +1147,11 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                     "1" if fused_default else "0") == "1":
                 solve_prog = _mixed_solve_program(
                     sys_struct_key(sys), M32_fn,
-                    n_iters=min(300, maxiter))
+                    n_iters=min(300, maxiter),
+                    # X here is always the Dirichlet lift G (zero on
+                    # free dofs, fem/assembly.py BCData), so the
+                    # opening f64 residual is where(free, RHS, 0)
+                    x0_lift=True)
                 X, rn_dev, tot, passes = solve_prog(
                     a64, a32, m32_args, RHS, X, jnp.asarray(tol),
                     inner_rtol)

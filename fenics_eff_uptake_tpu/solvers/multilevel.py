@@ -817,14 +817,28 @@ def _coarse_inverse_device_dense(csys, D_vec, mu_vec, Rb):
     Xs, res = prog(jnp.asarray(K_c), jnp.asarray(Adv_c), jnp.asarray(R_c),
                    jnp.asarray(Rb_dense), jnp.asarray(free_np),
                    jnp.asarray(D_vec), jnp.asarray(mu_vec))
-    worst = float(jnp.max(res))
-    if worst > 1e-2:
-        import warnings
-        warnings.warn(
-            f"coarse Newton-Schulz inverse degraded: max ||I-AX|| = "
-            f"{worst:.2e} over the batch (cond beyond the ~1e4 design "
-            f"point?); raise FEU_NS_ITERS or expect extra CG iterations",
-            RuntimeWarning)
+    # The degradation warning must NOT force a host sync here: one
+    # synchronous readback through the axon tunnel costs 0.1-0.5 s of
+    # round-trip latency in an otherwise fully async build (the caller
+    # blocks once on the whole MG payload).  A daemon thread blocks on
+    # the tiny residual scalar and warns when it materialises.
+    worst_dev = jnp.max(res)
+
+    def _warn_if_degraded():
+        try:
+            worst = float(worst_dev)
+        except Exception:
+            return
+        if worst > 1e-2:
+            import warnings
+            warnings.warn(
+                f"coarse Newton-Schulz inverse degraded: max ||I-AX|| ="
+                f" {worst:.2e} over the batch (cond beyond the ~1e4 "
+                f"design point?); raise FEU_NS_ITERS or expect extra "
+                f"CG iterations", RuntimeWarning)
+
+    import threading
+    threading.Thread(target=_warn_if_degraded, daemon=True).start()
     return Xs
 
 

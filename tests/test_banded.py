@@ -244,11 +244,13 @@ def test_band_plan_halo_quantized():
     """Halos snap to the fixed menu so band widths (compile-relevant
     shapes) are shared across geometry classes in multi-mesh studies."""
     from fenics_eff_uptake_tpu.ops.banded import build_band_plan
-    # spread 5*128 < s <= 6*128 would be halo 5 unquantized -> menu 6
+    # spread 700 would be halo 6 unquantized -> power-of-two menu 8
+    # (the menu is deliberately sparse: h=0.02 study meshes straddled
+    # adjacent halos and recompiled the full solver stack per class)
     dofs = np.array([[0, 700]])
     plan = build_band_plan(dofs, 1024, tile=128)
-    assert plan.halo == 6
-    assert plan.width == (2 * 6 + 1) * 128
+    assert plan.halo == 8
+    assert plan.width == (2 * 8 + 1) * 128
     # spread within halo 1 stays 1
     plan = build_band_plan(np.array([[0, 100]]), 1024, tile=128)
     assert plan.halo == 1
