@@ -43,7 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["BandPlan", "rcm_permutation", "best_bandwidth_permutation",
-           "build_band_plan", "band_from_elements", "band_apply"]
+           "build_band_plan", "band_from_elements", "band_apply",
+           "RectBandPlan", "build_rect_band_plan", "rect_band_values",
+           "rect_band_apply_ref", "aligned_transfer_plans"]
 
 
 class BandPlan(NamedTuple):
@@ -161,6 +163,175 @@ def band_from_elements(A_e, plan: BandPlan, dtype=jnp.float32):
         num_segments=plan.tiles * plan.tile * plan.width,
         indices_are_sorted=True)
     return flat.reshape(plan.tiles, plan.tile, plan.width)
+
+
+# ---------------------------------------------------------------------------
+# Rectangular windowed bands: MG transfer operators as MXU matmuls.
+#
+# The V-cycle's restriction/prolongation were the fine-level hot spot
+# (measured 8.6 ms of a 15.6 ms cycle at ~1e5 dofs, B=20): XLA lowers the
+# (3n, B) gather + sorted segment-sum into per-row transactions.  Both
+# directions are sparse RECTANGULAR matrices whose nonzeros cluster near
+# the diagonal of the fine<->coarse index map when both orderings are
+# geometric (the same locality the square operator band exploits).  Stored
+# as per-row-tile windows with a PER-TILE column offset (the row/col
+# ratio is non-integer, so windows slide rather than step):
+#
+#     Y[t*R + r] = sum_w band[t, r, w] * X[offs[t] + w]
+#
+# one (R, W) @ (W, B) MXU matmul per tile, zero gather/scatter.  Offsets
+# are runtime data (8-aligned for DMA); T/R/W stay in the compile key so
+# same-bucket geometries share programs.
+# ---------------------------------------------------------------------------
+
+
+class RectBandPlan(NamedTuple):
+    """Host plan for a sparse (n_rows x n_cols) -> windowed band."""
+    offs: np.ndarray          # (T,) int32 window start per row tile
+    ids: np.ndarray           # (M,) int32 SORTED flat band slots
+                              #   (dump slot T*R*W for zero entries)
+    perm: np.ndarray          # (M,) int32 argsort applied to entries
+    tiles: int                # T
+    tile: int                 # R
+    width: int                # W (menu-quantised)
+    n_rows_pad: int           # T * R
+    n_cols_pad: int           # X must be zero-padded to this length
+
+
+_RECT_W_MENU = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+def build_rect_band_plan(rows, cols, vals, n_rows, n_cols, tile=256,
+                         max_bytes=500 * 2**20):
+    """Plan a windowed band for sparse entries (rows, cols, vals).
+
+    Zero-valued entries (padded/constrained transfer rows) are routed to
+    a dump slot so the entry COUNT stays bucket-shape-stable while the
+    window covers live entries only.  `tile` is an upper bound: when the
+    row/col ratio is large (restriction from a much bigger fine space)
+    the tile shrinks so each tile's window fits the W menu.  Returns
+    None when the ordering gives no locality (band would exceed
+    max_bytes at every tile size) -- callers fall back to the
+    gather/segment-sum path.
+    """
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    vals = np.asarray(vals).ravel()
+    live = vals != 0
+    for t_r in (256, 128, 64, 32, 16, 8):
+        if t_r > tile:
+            continue
+        T = -(-n_rows // t_r)
+        tidx = rows // t_r
+        # per-tile live column range
+        mn = np.full(T, np.iinfo(np.int64).max)
+        mx = np.full(T, -1)
+        np.minimum.at(mn, tidx[live], cols[live])
+        np.maximum.at(mx, tidx[live], cols[live])
+        empty = mx < 0
+        mn[empty] = 0
+        mx[empty] = 0
+        offs = (mn // 8) * 8                   # DMA sublane alignment
+        need = int((mx - offs).max()) + 1
+        W = next((w for w in _RECT_W_MENU if w >= need), None)
+        if W is None or T * t_r * W * 4 > max_bytes:
+            continue
+        n_cols_pad = max(int((offs + W).max()),
+                         -(-n_cols // 128) * 128)
+        w_idx = cols - offs[tidx]
+        flat = (tidx * t_r + rows % t_r) * W + w_idx
+        flat = np.where(live, flat, T * t_r * W)   # dump slot
+        perm = np.argsort(flat, kind="stable")
+        return RectBandPlan(offs=offs.astype(np.int32),
+                            ids=flat[perm].astype(np.int32),
+                            perm=perm.astype(np.int32),
+                            tiles=T, tile=t_r, width=W,
+                            n_rows_pad=T * t_r,
+                            n_cols_pad=int(n_cols_pad))
+    return None
+
+
+def aligned_transfer_plans(cols, weights, n_fine, n_coarse, tile=256,
+                           max_bytes=500 * 2**20):
+    """Windowed-band plans for BOTH transfer directions of an MG level,
+    with the coarse side re-ordered for window locality.
+
+    Adjacent MG levels carry independently-chosen dof orderings (each
+    optimises its OWN operator band), so the fine->coarse index map is
+    not monotone and naive windows blow up (measured need ~2310 vs the
+    ~150 a monotone map gives at 1e5 dofs).  Sorting the coarse dofs by
+    their first fine contributor makes the entry cloud near-diagonal BY
+    CONSTRUCTION; the apply pays one coarse-sized (nc, B) gather per
+    direction -- ~12x smaller than the fine-sized gathers this replaces.
+
+    Returns (plan_p, plan_r, sig, inv_sig) or None; sig maps
+    sigma-ordered coarse indices to true ones (Xc_sigma = Xc[sig]),
+    inv_sig the inverse (Y = Y_sigma[inv_sig]).
+    """
+    cols = np.asarray(cols)
+    w = np.asarray(weights)
+    nf, nd = cols.shape
+    rows = np.repeat(np.arange(nf), nd)
+    cflat = cols.ravel().astype(np.int64)
+    wflat = w.ravel()
+    live = wflat != 0
+    key = np.full(n_coarse, np.iinfo(np.int64).max)
+    np.minimum.at(key, cflat[live], rows[live])
+    sig = np.argsort(key, kind="stable").astype(np.int32)
+    inv = np.empty(n_coarse, np.int32)
+    inv[sig] = np.arange(n_coarse, dtype=np.int32)
+    c2 = inv[cflat]
+    p_p = build_rect_band_plan(rows, c2, wflat, nf, n_coarse,
+                               tile=tile, max_bytes=max_bytes)
+    p_r = build_rect_band_plan(c2, rows, wflat, n_coarse, nf,
+                               tile=tile, max_bytes=max_bytes)
+    if p_p is None or p_r is None:
+        return None
+    return p_p, p_r, sig, inv
+
+
+def _rect_values_program(M, segs):
+    """Cached jitted scatter: entries -> flat band (+ dump slot)."""
+    key = ("rectvals", M, segs)
+    prog = _RECT_PROG_CACHE.get(key)
+    if prog is None:
+        @jax.jit
+        def prog(vals, perm, ids):
+            return jax.ops.segment_sum(
+                vals.ravel()[perm], ids, num_segments=segs,
+                indices_are_sorted=True)[:-1]
+        _RECT_PROG_CACHE[key] = prog
+    return prog
+
+
+_RECT_PROG_CACHE: dict = {}
+
+
+def rect_band_values(plan: RectBandPlan, vals):
+    """Scatter entry values into the (T, R, W) band ON DEVICE.
+
+    vals may be a device array (e.g. already-shipped transfer weights);
+    the only host->device traffic is the (M,) int32 id/perm vectors.
+    One sorted segment-sum dispatch; the dump slot absorbs zeros."""
+    segs = plan.tiles * plan.tile * plan.width + 1
+    prog = _rect_values_program(int(np.asarray(plan.ids).shape[0]), segs)
+    flat = prog(jnp.asarray(vals), jnp.asarray(plan.perm),
+                jnp.asarray(plan.ids))
+    return flat.reshape(plan.tiles, plan.tile, plan.width)
+
+
+def rect_band_apply_ref(band, offs, Xp):
+    """XLA reference/fallback apply: Y = rect_band @ Xp.
+
+    Xp must already be zero-padded to plan.n_cols_pad rows.  Used on CPU
+    (tests) and anywhere the Pallas kernel is disabled; materialises the
+    (T, W, B) window gather that the kernel DMA replaces."""
+    T, R, W = band.shape
+    win = Xp[offs[:, None] + jnp.arange(W)[None, :]]       # (T, W, B)
+    Y = jnp.einsum("trw,twb->trb", band, win,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=band.dtype)
+    return Y.reshape(T * R, Xp.shape[1])
 
 
 def band_apply(band, X, coef=None):

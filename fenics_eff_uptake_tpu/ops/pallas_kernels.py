@@ -207,3 +207,92 @@ def band_apply_pallas(band, X, coef=None, interpret=None):
             interpret=interpret,
         )(band, Xp, coef2)
     return Y[:, :B]
+
+
+# ---------------------------------------------------------------------------
+# Rectangular windowed-band apply: MG transfer operators (restriction /
+# prolongation) as per-tile MXU matmuls with sliding windows.
+#
+#     Y[t*R + r] = sum_w band[t, r, w] * X[offs[t] + w]
+#
+# The row/col ratio of a transfer is non-integer, so unlike the square
+# operator band the window start is PER-TILE DATA (SMEM) rather than t*R.
+# Replaces the (3n, B) gather + sorted segment-sum pair that XLA lowers to
+# per-row transactions (measured 8.6 ms of a 15.6 ms V-cycle at 1e5 dofs).
+# See ops/banded.py build_rect_band_plan for the host plan.
+# ---------------------------------------------------------------------------
+
+
+def _rect_band_kernel_factory(R, W, T):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(offs_ref, band_ref, x_hbm, y_ref, xwin, sems):
+        t = pl.program_id(0).astype(jnp.int32)
+        slot = jax.lax.rem(t, jnp.asarray(2, jnp.int32))
+        nslot = jax.lax.rem(t + jnp.asarray(1, jnp.int32),
+                            jnp.asarray(2, jnp.int32))
+
+        @pl.when(t == 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(offs_ref[0], W), :], xwin.at[0],
+                sems.at[0]).start()
+
+        @pl.when(t + 1 < T)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(offs_ref[t + 1], W), :], xwin.at[nslot],
+                sems.at[nslot]).start()
+
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(offs_ref[t], W), :], xwin.at[slot],
+            sems.at[slot]).wait()
+        y = jax.lax.dot_general(
+            band_ref[0], xwin[slot], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        y_ref[:, :] = y.astype(y_ref.dtype)
+
+    return kernel
+
+
+@jax.jit
+def rect_band_apply_pallas(band, offs, Xp):
+    """Y = rect_band @ Xp via per-tile windowed MXU matmuls.
+
+    band (T, R, W) f32; offs (T,) int32 8-aligned window starts; Xp
+    (n_cols_pad, B) with n_cols_pad >= max(offs) + W (zero-padded by the
+    caller).  Returns (T*R, B).  Interpret mode off-TPU so CPU tests
+    cover the kernel; the lane dim is padded to 128 inside (the HBM
+    buffer is physically lane-padded anyway)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, R, W = band.shape
+    n, B = Xp.shape
+    dt = Xp.dtype
+    Bp = ((B + 127) // 128) * 128
+    Xq = jnp.pad(Xp.astype(band.dtype), ((0, 0), (0, Bp - B)))
+
+    interpret = jax.default_backend() != "tpu"
+    with jax.enable_x64(interpret and jax.config.jax_enable_x64):
+        Y = pl.pallas_call(
+            _rect_band_kernel_factory(R, W, T),
+            out_shape=jax.ShapeDtypeStruct((T * R, Bp), dt),
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, R, W), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((R, Bp), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, W, Bp), band.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(offs, band, Xq)
+    return Y[:, :B]

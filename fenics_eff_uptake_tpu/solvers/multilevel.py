@@ -48,11 +48,22 @@ class _Transfer(NamedTuple):
     n_coarse: int
 
 
+class _RectBand(NamedTuple):
+    """Device arrays of one windowed-band transfer direction."""
+    band: jnp.ndarray         # (T, R, W) f32
+    offs: jnp.ndarray         # (T,) int32 window starts
+
+
 class _Level(NamedTuple):
     sys: "object"             # TransportSystem (parallel/sweep.py)
     dinv: jnp.ndarray         # (n_l, B) f32 inverse diagonal (free dofs)
     free: jnp.ndarray         # (n_l,) bool
     transfer: Optional[_Transfer]   # to next coarser level (None = coarsest)
+    # windowed-band transfer form (ops/banded.py RectBandPlan): the
+    # V-cycle's restrict/prolong as per-tile MXU matmuls instead of the
+    # gather + sorted-segment-sum pair (the measured fine-level hot spot
+    # on TPU).  (band_p, plan_p, band_r, plan_r) or None (gather path).
+    bands: Optional[tuple] = None
 
 
 class MultilevelData(NamedTuple):
@@ -493,6 +504,25 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
             coarse_old2new=lsys[i + 1].iperm))
     _tick('transfers (host, cached)')
 
+    # windowed-band transfer PLANS (host numpy; ops/banded.py): the
+    # V-cycle's restrict/prolong become per-tile MXU matmuls.  Values
+    # are scattered on DEVICE after shipping, so only the int32 id
+    # vectors cross the tunnel, never the O(100 MB) bands themselves.
+    tband_plans = None
+    tband_devkey = None
+    if _ml_tband():
+        n_fine_l = [sys.ndofs] + [s.ndofs for s in lsys[:-1]]
+        n_coarse_l2 = [s.ndofs for s in lsys]
+        keyed = [
+            _aligned_plans_cached(np.asarray(tr.cols),
+                                  np.asarray(tr.weights),
+                                  int(n_fine_l[l]),
+                                  int(n_coarse_l2[l]))
+            for l, tr in enumerate(transfers)]
+        tband_devkey = tuple(k for k, _ in keyed)
+        tband_plans = [p for _, p in keyed]
+        _tick('transfer band plans (host, cached)')
+
     # the V-cycle consumes Robin batches in f32 (smoothing dtype), so
     # ship f32 copies; the host f64 originals stay for the CPU coarse
     # path.  ONE device_put ships the whole MG payload.
@@ -531,6 +561,47 @@ def build_multilevel(sys, level_meshes, D_values, mu_values=None,
         levels.append(_Level(sys=lsys[i], dinv=jnp.asarray(mid_dinv_d[i]),
                              free=lsys[i].free,
                              transfer=transfers[i + 1]))
+
+    if tband_plans is not None:
+        hit = _TBAND_DEV_CACHE.get(tband_devkey)
+        if hit is not None:
+            # same geometry rebuilt in-process (warm study/bench reps):
+            # the bands are pure in the transfer content -- reuse the
+            # device arrays, skip uploads and the scatter dispatch
+            for l, btup in hit:
+                levels[l] = levels[l]._replace(bands=btup)
+        else:
+            # scatter transfer weights into the windowed bands ON
+            # DEVICE -- every direction of every level fused into ONE
+            # dispatch (each eager dispatch through the axon tunnel
+            # costs ~0.05-0.2 s)
+            live_l = [l for l in range(len(levels))
+                      if tband_plans[l] is not None]
+            flat_plans = []
+            vals = []
+            for l in live_l:
+                p_p, p_r, _, _ = tband_plans[l]
+                w_dev = levels[l].transfer.weights
+                flat_plans += [p_p, p_r]
+                vals += [w_dev, w_dev]
+            bands = _tband_values_all(flat_plans, vals)
+            entry = []
+            for j, l in enumerate(live_l):
+                p_p, p_r, sig, isig = tband_plans[l]
+                btup = (
+                    _RectBand(band=bands[2 * j],
+                              offs=jnp.asarray(p_p.offs)),
+                    p_p,
+                    _RectBand(band=bands[2 * j + 1],
+                              offs=jnp.asarray(p_r.offs)),
+                    p_r,
+                    jnp.asarray(sig), jnp.asarray(isig))
+                levels[l] = levels[l]._replace(bands=btup)
+                entry.append((l, btup))
+            _TBAND_DEV_CACHE[tband_devkey] = entry
+            while len(_TBAND_DEV_CACHE) > 2:   # ~400 MB HBM per entry
+                _TBAND_DEV_CACHE.pop(next(iter(_TBAND_DEV_CACHE)))
+        _tick('transfer bands (device scatter)')
 
     # coarsest: per-sample dense inverses.  On accelerators they are
     # computed ON DEVICE by batched Newton-Schulz iteration (pure MXU
@@ -894,6 +965,13 @@ class _LevelArgs(NamedTuple):
     t_w: jnp.ndarray
     t_perm: jnp.ndarray
     t_ids: jnp.ndarray
+    # windowed-band transfers (None = gather/segment-sum path)
+    tb_p: "object" = None     # prolong (T, R, W) f32
+    tb_po: "object" = None    # prolong (T,) int32 offsets
+    tb_r: "object" = None     # restrict band
+    tb_ro: "object" = None    # restrict offsets
+    tb_sig: "object" = None   # (nc,) coarse alignment permutation
+    tb_isig: "object" = None  # (nc,) its inverse
 
 
 def _ml_dtype(f32):
@@ -945,11 +1023,104 @@ def _ml_band_in_M():
     return use_band_pallas() and jax.default_backend() == "tpu"
 
 
+def _ml_tband():
+    """Windowed-band MG transfers: default ON on accelerators, OFF on
+    CPU (the gather path is fine there and tests pin it as reference).
+    FEU_ML_TBAND=1/0 forces either way (1 on CPU exercises the full
+    integration under the interpret-mode kernel)."""
+    import os
+    v = os.environ.get("FEU_ML_TBAND")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() != "cpu"
+
+
+_TBAND_DEV_CACHE: dict = {}
+_TBAND_PLAN_MEMO: dict = {}
+
+
+def _aligned_plans_cached(cols, w, nf, nc_l):
+    """Disk-cached aligned_transfer_plans (ops/banded.py): the plan is
+    pure in (cols, weights, sizes) and costs ~50-100 ms of host argsorts
+    per level per process otherwise.  Returns (content_key, plans)."""
+    from ..ops.banded import RectBandPlan, aligned_transfer_plans
+    from ..utils.diskcache import cache_key_of, cached_arrays
+    key = cache_key_of("tbandplan-v1", cols, w, nf, nc_l)
+    memo = _TBAND_PLAN_MEMO.get(key)
+    if memo is not None:
+        return key, memo
+
+    def _build():
+        r = aligned_transfer_plans(cols, w, nf, nc_l)
+        if r is None:
+            return {"none": np.asarray([1])}
+        p, q, sig, isig = r
+        d = {"sig": sig, "isig": isig}
+        for tag, pl_ in (("p", p), ("r", q)):
+            d[tag + "_offs"] = pl_.offs
+            d[tag + "_ids"] = pl_.ids
+            d[tag + "_perm"] = pl_.perm
+            d[tag + "_dims"] = np.asarray(
+                [pl_.tiles, pl_.tile, pl_.width,
+                 pl_.n_rows_pad, pl_.n_cols_pad])
+        return d
+
+    data, _hit = cached_arrays("tbandplan", key, _build)
+    if "none" in data:
+        _TBAND_PLAN_MEMO[key] = None
+        return key, None
+
+    def mk(tag):
+        t, r_, w_, nrp, ncp = [int(x) for x in data[tag + "_dims"]]
+        return RectBandPlan(offs=data[tag + "_offs"],
+                            ids=data[tag + "_ids"],
+                            perm=data[tag + "_perm"],
+                            tiles=t, tile=r_, width=w_,
+                            n_rows_pad=nrp, n_cols_pad=ncp)
+
+    out = (mk("p"), mk("r"), data["sig"], data["isig"])
+    _TBAND_PLAN_MEMO[key] = out
+    while len(_TBAND_PLAN_MEMO) > 6:
+        _TBAND_PLAN_MEMO.pop(next(iter(_TBAND_PLAN_MEMO)))
+    return key, out
+
+
+_TBAND_VALS_CACHE: dict = {}
+
+
+def _tband_values_all(plans, vals):
+    """All transfer-band scatters of a ladder as ONE jitted dispatch."""
+    key = tuple((int(np.asarray(p.ids).shape[0]),
+                 p.tiles * p.tile * p.width) for p in plans)
+    prog = _TBAND_VALS_CACHE.get(key)
+    if prog is None:
+        segs = [s + 1 for _, s in key]
+
+        @jax.jit
+        def prog(vals, perms, ids):
+            return [
+                jax.ops.segment_sum(v.ravel()[pm], id_,
+                                    num_segments=sg,
+                                    indices_are_sorted=True)[:-1]
+                for v, pm, id_, sg in zip(vals, perms, ids, segs)]
+
+        _TBAND_VALS_CACHE[key] = prog
+    outs = prog([jnp.asarray(v) for v in vals],
+                [jnp.asarray(p.perm) for p in plans],
+                [jnp.asarray(p.ids) for p in plans])
+    return [o.reshape(p.tiles, p.tile, p.width)
+            for o, p in zip(outs, plans)]
+
+
 def _ml_struct_key(ml: MultilevelData, f32: bool):
     from ..parallel.sweep import sys_struct_key
     lv = tuple(
         (sys_struct_key(lev.sys), lev.transfer.n_coarse,
-         ml.R_batches[i] is not None)
+         ml.R_batches[i] is not None,
+         # windowed-band transfer statics: X pad lengths (trace-time
+         # constants; band T/R/W ride in the traced array shapes)
+         None if lev.bands is None else
+         (int(lev.bands[1].n_cols_pad), int(lev.bands[3].n_cols_pad)))
         for i, lev in enumerate(ml.levels))
     return (lv, int(ml.Ainv.shape[1]), str(_ml_dtype(f32)),
             _ml_smooth_steps(), _ml_cycle())
@@ -964,6 +1135,15 @@ def _ml_program(struct_key):
     n_mid = len(level_structs)
     ndofs_l = [s[0][0] for s in level_structs]
     ncoarse_l = [s[1] for s in level_structs]
+    band_pads = [s[3] if len(s) > 3 else None for s in level_structs]
+
+    def _rect_apply(band, offs, Xq):
+        from ..ops.pallas_kernels import (rect_band_apply_pallas,
+                                          use_band_pallas)
+        if use_band_pallas() and jax.default_backend() == "tpu":
+            return rect_band_apply_pallas(band, offs, Xq)
+        from ..ops.banded import rect_band_apply_ref
+        return rect_band_apply_ref(band, offs, Xq)
 
     def A_level(l, la: _LevelArgs, X, D_vec, mu_vec):
         Y = _args_block_apply(la.K, ndofs_l[l], X,
@@ -984,7 +1164,14 @@ def _ml_program(struct_key):
         return A_level(l, la, jnp.where(la.free[:, None], X, 0.0),
                        D_vec, mu_vec)
 
-    def restrict(la: _LevelArgs, R, n_coarse):
+    def restrict(l, la: _LevelArgs, R):
+        n_coarse = ncoarse_l[l]
+        if la.tb_r is not None:
+            pad_r = band_pads[l][1]
+            Xq = jnp.pad(R, ((0, pad_r - R.shape[0]), (0, 0)))
+            Ys = _rect_apply(la.tb_r, la.tb_ro, Xq)[:n_coarse]
+            # band rows are in the fine-aligned sigma order
+            return Ys[la.tb_isig].astype(R.dtype)
         contrib = la.t_w[:, :, None] * R[:, None, :]
         n, _, B = contrib.shape
         flat = contrib.reshape(n * 3, B)[la.t_perm]
@@ -992,7 +1179,13 @@ def _ml_program(struct_key):
                                    num_segments=n_coarse,
                                    indices_are_sorted=True)
 
-    def prolong(la: _LevelArgs, Xc):
+    def prolong(l, la: _LevelArgs, Xc):
+        if la.tb_p is not None:
+            pad_p = band_pads[l][0]
+            Xs = Xc[la.tb_sig]       # fine-aligned sigma order
+            Xq = jnp.pad(Xs, ((0, pad_p - Xs.shape[0]), (0, 0)))
+            return _rect_apply(la.tb_p, la.tb_po,
+                               Xq)[:ndofs_l[l]].astype(Xc.dtype)
         return jnp.einsum("nk,nkb->nb", la.t_w, Xc[la.t_cols],
                           preferred_element_type=Xc.dtype)
 
@@ -1003,7 +1196,7 @@ def _ml_program(struct_key):
             x = x + omega * la.dinv * (r - A_masked(l, la, x, D_vec,
                                                     mu_vec))
         res = r - A_masked(l, la, x, D_vec, mu_vec)
-        rc = restrict(la, res, ncoarse_l[l])
+        rc = restrict(l, la, res)
         if l + 1 < n_mid:
             rc = jnp.where(levels[l + 1].free[:, None], rc, 0.0)
             xc = vcycle(l + 1, rc, levels, free_c, Ainv, D_vec, mu_vec,
@@ -1013,7 +1206,7 @@ def _ml_program(struct_key):
             xc_b = jnp.matmul(Ainv, jnp.moveaxis(rc, 1, 0)[..., None],
                               preferred_element_type=jnp.float32)
             xc = jnp.moveaxis(xc_b[..., 0], 0, 1)
-        x = x + prolong(la, xc)
+        x = x + prolong(l, la, xc)
         # mirrored post-smooth keeps M symmetric (CG-safe)
         for _ in range(n_smooth):
             x = x + omega * la.dinv * (r - A_masked(l, la, x, D_vec,
@@ -1031,7 +1224,7 @@ def _ml_program(struct_key):
         rs = [R.astype(D_vec.dtype)]
         for l in range(n_mid):
             la = levels[l]
-            rc = restrict(la, rs[-1], ncoarse_l[l])
+            rc = restrict(l, la, rs[-1])
             rc = jnp.where((levels[l + 1].free if l + 1 < n_mid
                             else free_c)[:, None], rc, 0.0)
             rs.append(rc)
@@ -1040,7 +1233,7 @@ def _ml_program(struct_key):
         c = jnp.moveaxis(xc_b[..., 0], 0, 1).astype(rs[-1].dtype)
         for l in range(n_mid - 1, -1, -1):
             la = levels[l]
-            c = omega * la.dinv * rs[l] + prolong(la, c)
+            c = omega * la.dinv * rs[l] + prolong(l, la, c)
         return c.astype(R.dtype)
 
     def hybrid(m_args, R):
@@ -1052,7 +1245,7 @@ def _ml_program(struct_key):
         levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
         la = levels[0]
         Rw = R.astype(D_vec.dtype)
-        rc = restrict(la, Rw, ncoarse_l[0])
+        rc = restrict(0, la, Rw)
         if n_mid > 1:
             rc = jnp.where(levels[1].free[:, None], rc, 0.0)
             xc = vcycle(1, rc, levels, free_c, Ainv, D_vec, mu_vec,
@@ -1062,7 +1255,7 @@ def _ml_program(struct_key):
             xc_b = jnp.matmul(Ainv, jnp.moveaxis(rc, 1, 0)[..., None],
                               preferred_element_type=jnp.float32)
             xc = jnp.moveaxis(xc_b[..., 0], 0, 1).astype(rc.dtype)
-        out = omega * la.dinv * Rw + prolong(la, xc)
+        out = omega * la.dinv * Rw + prolong(0, la, xc)
         return out.astype(R.dtype)
 
     def apply(m_args, R):
@@ -1101,6 +1294,10 @@ def ml_preconditioner_args(ml: MultilevelData, f32=True, band=True):
                     ba = ba._replace(band=ba.band.astype(dt))
             return ba
 
+        # the f64 V-cycle variant (Stokes Mv64) keeps the gather-path
+        # transfers: the windowed bands are stored f32 and would round
+        # the f64 preconditioner's transfer arithmetic
+        tb = lev.bands if dt != jnp.float64 else None
         levels.append(_LevelArgs(
             K=_ba(s.K, band=s.Kband),
             Adv=None if s.Adv is None else _ba(s.Adv, band=s.Advband),
@@ -1112,6 +1309,12 @@ def ml_preconditioner_args(ml: MultilevelData, f32=True, band=True):
             t_w=lev.transfer.weights.astype(dt),
             t_perm=lev.transfer.perm,
             t_ids=lev.transfer.ids_sorted,
+            tb_p=None if tb is None else tb[0].band,
+            tb_po=None if tb is None else tb[0].offs,
+            tb_r=None if tb is None else tb[2].band,
+            tb_ro=None if tb is None else tb[2].offs,
+            tb_sig=None if tb is None else tb[4],
+            tb_isig=None if tb is None else tb[5],
         ))
     return (tuple(levels), ml.free_c, ml.Ainv,
             ml.D_vec.astype(dt), ml.mu_vec.astype(dt),

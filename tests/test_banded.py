@@ -275,3 +275,96 @@ def test_best_bandwidth_permutation_prefers_geometric():
     assert np.array_equal(o2n[n2o], np.arange(n))
     _, o2n_rcm = rcm_permutation(ed, n, n)
     assert _spread_of(ed, o2n) <= _spread_of(ed, o2n_rcm)
+
+
+def _random_transfer(rng, nf, nc):
+    """Transfer-shaped sparse triples with geometric locality: fine row
+    i's coarse cols cluster near i * nc / nf (what the lexicographic
+    dof orderings give on real meshes)."""
+    base = (np.arange(nf) * nc) // nf
+    jitter = rng.integers(-3, 4, size=(nf, 3))
+    cols = np.clip(base[:, None] + jitter, 0, nc - 1)
+    w = rng.random((nf, 3)).astype(np.float32)
+    w[rng.random(nf) < 0.1] = 0.0          # padded/constrained rows
+    return cols, w
+
+
+def test_rect_band_matches_gather_segment_paths():
+    """Windowed-band restrict/prolong must reproduce the gather+einsum
+    and segment-sum formulations (the V-cycle's reference semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from fenics_eff_uptake_tpu.ops.banded import (
+        build_rect_band_plan, rect_band_values, rect_band_apply_ref)
+    from fenics_eff_uptake_tpu.ops.pallas_kernels import (
+        rect_band_apply_pallas)
+
+    rng = np.random.default_rng(7)
+    nf, nc, B = 1024, 273, 5
+    cols, w = _random_transfer(rng, nf, nc)
+    rows = np.repeat(np.arange(nf), 3)
+
+    # prolong direction: (nf x nc) @ (nc, B)
+    p = build_rect_band_plan(rows, cols.ravel(), w.ravel(), nf, nc,
+                             tile=256)
+    assert p is not None
+    band = rect_band_values(p, jnp.asarray(w))
+    Xc = jnp.asarray(rng.random((nc, B)), jnp.float32)
+    Xq = jnp.pad(Xc, ((0, p.n_cols_pad - nc), (0, 0)))
+    want = np.einsum("nk,nkb->nb", w, np.asarray(Xc)[cols])
+    got_ref = rect_band_apply_ref(band, jnp.asarray(p.offs), Xq)[:nf]
+    got_pal = rect_band_apply_pallas(band, jnp.asarray(p.offs), Xq)[:nf]
+    np.testing.assert_allclose(np.asarray(got_ref), want, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_pal), want, atol=2e-5)
+
+    # restrict direction: transpose, output sliced to nc
+    r = build_rect_band_plan(cols.ravel(), rows, w.ravel(), nc, nf,
+                             tile=256)
+    assert r is not None
+    band_r = rect_band_values(r, jnp.asarray(w))
+    Xf = jnp.asarray(rng.random((nf, B)), jnp.float32)
+    Xfq = jnp.pad(Xf, ((0, r.n_cols_pad - nf), (0, 0)))
+    contrib = (w[:, :, None] * np.asarray(Xf)[:, None, :]).reshape(-1, B)
+    want_r = np.zeros((nc, B), np.float32)
+    np.add.at(want_r, cols.ravel(), contrib)
+    got_r = rect_band_apply_ref(band_r, jnp.asarray(r.offs), Xfq)[:nc]
+    got_rp = rect_band_apply_pallas(band_r, jnp.asarray(r.offs), Xfq)[:nc]
+    np.testing.assert_allclose(np.asarray(got_r), want_r, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_rp), want_r, atol=2e-4)
+
+
+def test_rect_band_plan_rejects_nonlocal():
+    """A transfer with no index locality must fall back (None) rather
+    than build a monster band."""
+    from fenics_eff_uptake_tpu.ops.banded import build_rect_band_plan
+    rng = np.random.default_rng(3)
+    nf, nc = 1 << 15, 1 << 14
+    rows = np.repeat(np.arange(nf), 3)
+    cols = rng.integers(0, nc, size=3 * nf)       # random: zero locality
+    vals = np.ones(3 * nf, np.float32)
+    assert build_rect_band_plan(rows, cols, vals, nf, nc,
+                                max_bytes=8 << 20) is None
+
+
+def test_sweep_equivalence_tband(mesh, systems, monkeypatch):
+    """Full ML solve with windowed-band transfers (FEU_ML_TBAND=1,
+    interpret-mode kernel on CPU) must match the gather-path solve."""
+    from fenics_eff_uptake_tpu.solvers.multilevel import build_multilevel
+    _, bnd = systems
+    mids = [generate_mesh(mesh_size=0.24, **KW),
+            generate_mesh(mesh_size=0.45, **KW)]
+    mus = np.array([0.1, 1.0, 10.0])
+    D = np.ones(3)
+    ml_g = build_multilevel(bnd, mids, D, mu_values=mus)
+    assert ml_g.levels[0].bands is None
+    monkeypatch.setenv("FEU_ML_TBAND", "1")
+    ml_t = build_multilevel(bnd, mids, D, mu_values=mus)
+    assert ml_t.levels[0].bands is not None
+    X1, i1 = solve_sweep(bnd, D, mu_values=mus, rtol=1e-11,
+                         precision="mixed", multilevel=ml_t,
+                         chunk_iters=25)
+    X2, _ = solve_sweep(bnd, D, mu_values=mus, rtol=1e-11,
+                        precision="mixed", multilevel=ml_g,
+                        chunk_iters=25)
+    assert float(jnp.abs(X1 - X2).max()) < 1e-8
+    assert (np.asarray(i1["rel_resnorm"]) < 1e-10).all()
