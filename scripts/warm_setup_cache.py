@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main():
+    # force the windowed-band transfer PLANS to build (host arrays,
+    # backend-independent) so the TPU run hits the tbandplan cache
+    os.environ.setdefault("FEU_ML_TBAND", "1")
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
