@@ -167,6 +167,23 @@ def main():
         meta["ml_transfer_cache"] = dict(CACHE_STATS)
     except ImportError:
         pass
+    if PRECOND == "ml":
+        # roofline accounting: modelled bytes/FLOPs of the executed CG
+        # iterations vs chip peaks (utils/roofline.py)
+        try:
+            from fenics_eff_uptake_tpu.solvers.multilevel import (
+                _ml_cycle, _ml_smooth_steps)
+            from fenics_eff_uptake_tpu.utils.roofline import (
+                ml_cg_iteration_cost, roofline_summary)
+            cost = ml_cg_iteration_cost(
+                sys_t, ml, B=len(mus), n_smooth=_ml_smooth_steps(),
+                cycle=_ml_cycle())
+            meta["roofline"] = roofline_summary(
+                cost, iters_executed=int(np.max(info["iters"])),
+                wall_s=t_solve, passes_f64=int(info.get("passes", 0)) + 1,
+                sys_t=sys_t, B=len(mus))
+        except Exception as e:
+            meta["roofline"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps({
         "metric": "assembly+solve wall-clock per sweep point "
                   "(20-mu batched sweep, ~1e5 P2 dofs)",

@@ -129,8 +129,11 @@ def build_sharded_system(sys, device_mesh: Mesh, multilevel=None):
                          ml_K=K if multilevel is not None else None)
 
 
-def _cg_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
-    """Jitted shard_map CG chunk over (sweep, cells)."""
+def _sharded_ops(ss: ShardedSystem, f32: bool):
+    """Shared machinery of the sharded Krylov chunks: the cells-psum
+    operator apply, the (optionally multigrid) preconditioner builder,
+    and the shard_map partition specs.  Used by both the CG (SPD
+    transport) and BiCGStab (nonsymmetric adv-diff) chunk programs."""
     sys = ss.sys
     ndofs = sys.ndofs
     free = sys.free
@@ -261,15 +264,33 @@ def _cg_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
                     P())
         m_spec = _ml_spec(m_args_global)
     else:
+        M_apply = None
         m_args_global = None
         m_spec = None
 
-    def chunk_impl(Kb, Advb, Rb, D_vec, mu_vec, m_args, dinv,
-                   X, Rr, Z, Pp, rz, tol):
+    def make_Mfn(Kb, Advb, Rb, m_args, dinv):
         def Mfn(R):
             if ml is not None:
                 return M_apply(Kb, Advb, Rb, m_args, R)
             return dinv * R
+        return Mfn
+
+    return dict(A_bc=A_bc, make_Mfn=make_Mfn, blk_spec=blk_spec,
+                col=col, vec=vec, m_spec=m_spec,
+                m_args_global=m_args_global)
+
+
+def _cg_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
+    """Jitted shard_map CG chunk over (sweep, cells)."""
+    ops = _sharded_ops(ss, f32)
+    A_bc, make_Mfn = ops["A_bc"], ops["make_Mfn"]
+    blk_spec, col, vec, m_spec = (ops["blk_spec"], ops["col"],
+                                  ops["vec"], ops["m_spec"])
+    m_args_global = ops["m_args_global"]
+
+    def chunk_impl(Kb, Advb, Rb, D_vec, mu_vec, m_args, dinv,
+                   X, Rr, Z, Pp, rz, tol):
+        Mfn = make_Mfn(Kb, Advb, Rb, m_args, dinv)
 
         def body(_, state):
             X, Rr, Z, Pp, rz = state
@@ -306,6 +327,72 @@ def _cg_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
     return jax.jit(fn), m_args_global
 
 
+def _bicgstab_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
+    """Jitted shard_map BiCGStab chunk over (sweep, cells): the
+    nonsymmetric (adv-diff) twin of _cg_chunk_sharded, mirroring the
+    single-mesh batched recurrence (parallel/sweep.py
+    _refine_program_bicgstab).  Collective budget: 2 operator psums +
+    2 preconditioner applies (2 fine-level psums each under MG) per
+    iteration, all riding "cells"/ICI; the sweep axis stays
+    collective-free."""
+    ops = _sharded_ops(ss, f32)
+    A_bc, make_Mfn = ops["A_bc"], ops["make_Mfn"]
+    blk_spec, col, vec, m_spec = (ops["blk_spec"], ops["col"],
+                                  ops["vec"], ops["m_spec"])
+    m_args_global = ops["m_args_global"]
+
+    def chunk_impl(Kb, Advb, Rb, D_vec, mu_vec, m_args, dinv,
+                   X, Rr, Rhat, Pp, V, rho, alpha, omega, tol):
+        Mfn = make_Mfn(Kb, Advb, Rb, m_args, dinv)
+
+        def body(_, st):
+            X, Rr, Pp, V, rho, alpha, omega = st
+            active = jnp.sqrt(jnp.sum(Rr * Rr, axis=0)) > tol
+            rho_new = jnp.sum(Rhat * Rr, axis=0)
+            beta = jnp.where(
+                active,
+                (rho_new / jnp.where(rho != 0, rho, 1.0))
+                * (alpha / jnp.where(omega != 0, omega, 1.0)), 0.0)
+            Pp = jnp.where(
+                active[None, :],
+                Rr + beta[None, :] * (Pp - omega[None, :] * V), Pp)
+            Phat = Mfn(Pp)
+            V = A_bc(Kb, Advb, Rb, D_vec, mu_vec, Phat)
+            denom = jnp.sum(Rhat * V, axis=0)
+            alpha = jnp.where(active & (denom != 0),
+                              rho_new / jnp.where(denom != 0, denom,
+                                                  1.0), 0.0)
+            S = Rr - alpha[None, :] * V
+            Shat = Mfn(S)
+            T = A_bc(Kb, Advb, Rb, D_vec, mu_vec, Shat)
+            tt = jnp.sum(T * T, axis=0)
+            omega = jnp.where(active & (tt != 0),
+                              jnp.sum(T * S, axis=0)
+                              / jnp.where(tt != 0, tt, 1.0), 0.0)
+            X = X + alpha[None, :] * Phat + omega[None, :] * Shat
+            Rr = jnp.where(active[None, :], S - omega[None, :] * T, Rr)
+            return (X, Rr, Pp, V, rho_new, alpha, omega)
+
+        X, Rr, Pp, V, rho, alpha, omega = jax.lax.fori_loop(
+            0, n_iters, body, (X, Rr, Pp, V, rho, alpha, omega))
+        return (X, Rr, Pp, V, rho, alpha, omega,
+                jnp.sqrt(jnp.sum(Rr * Rr, axis=0)))
+
+    in_specs = (blk_spec,
+                None if ss.Adv is None else blk_spec,
+                None if ss.R is None else blk_spec,
+                vec, vec, m_spec, col,
+                col, col, col, col, col, vec, vec, vec, vec)
+    out_specs = (col, col, col, col, vec, vec, vec, vec)
+    smap_kwargs = dict(mesh=ss.mesh_dev, in_specs=in_specs,
+                       out_specs=out_specs)
+    try:
+        fn = shard_map(chunk_impl, check_vma=False, **smap_kwargs)
+    except TypeError:
+        fn = shard_map(chunk_impl, check_rep=False, **smap_kwargs)
+    return jax.jit(fn), m_args_global
+
+
 _SHARD_CHUNK_CACHE = {}
 
 
@@ -328,12 +415,14 @@ def sharded_solve_sweep(ss: ShardedSystem, D_values, mu_values,
     if B % dp:
         raise ValueError(f"sweep batch {B} must divide over dp={dp}")
 
-    key = (id(ss), chunk_iters, f32)
+    nonsym = sys.Adv is not None
+    key = (id(ss), chunk_iters, f32, nonsym)
     hit = _SHARD_CHUNK_CACHE.get(key)
     if hit is not None and hit[0] is ss:
         chunk, m_args = hit[1]
     else:
-        chunk, m_args = _cg_chunk_sharded(ss, chunk_iters, f32)
+        maker = _bicgstab_chunk_sharded if nonsym else _cg_chunk_sharded
+        chunk, m_args = maker(ss, chunk_iters, f32)
         _SHARD_CHUNK_CACHE[key] = (ss, (chunk, m_args))
 
     free = sys.free
@@ -354,14 +443,6 @@ def sharded_solve_sweep(ss: ShardedSystem, D_values, mu_values,
 
     X = G
     Rr = RHS - A_fn(a, X)
-    if ss.ml is not None:
-        from ..solvers.multilevel import make_ml_preconditioner
-        M_fn, M_args = make_ml_preconditioner(ss.ml, f32=f32)
-        Z = M_fn(M_args, Rr)
-    else:
-        Z = dinv * Rr
-    Pp = Z
-    rz = jnp.sum(Rr * Z, axis=0)
     bnorm = np.asarray(jnp.linalg.norm(RHS, axis=0))
     tol = jnp.asarray(rtol * bnorm, dtype=dt)
 
@@ -369,14 +450,37 @@ def sharded_solve_sweep(ss: ShardedSystem, D_values, mu_values,
     rn = np.asarray(jnp.linalg.norm(Rr, axis=0))
     tol_np = np.asarray(tol)
     col_iters = np.zeros(B, dtype=np.int64)
-    while iters < maxiter and (rn > tol_np).any():
-        active = rn > tol_np
-        X, Rr, Z, Pp, rz, rn_dev = chunk(
-            ss.K, ss.Adv, ss.R, D_vec, mu_vec, m_args, dinv,
-            X, Rr, Z, Pp, rz, tol)
-        iters += chunk_iters
-        rn = np.asarray(rn_dev)
-        col_iters[active] = iters
+    if nonsym:
+        Rhat = Rr
+        Pp = jnp.zeros_like(Rr)
+        V = jnp.zeros_like(Rr)
+        ones = jnp.ones(B, dt)
+        rho, alpha, omega = ones, ones, ones
+        while iters < maxiter and (rn > tol_np).any():
+            active = rn > tol_np
+            (X, Rr, Pp, V, rho, alpha, omega, rn_dev) = chunk(
+                ss.K, ss.Adv, ss.R, D_vec, mu_vec, m_args, dinv,
+                X, Rr, Rhat, Pp, V, rho, alpha, omega, tol)
+            iters += chunk_iters
+            rn = np.asarray(rn_dev)
+            col_iters[active] = iters
+    else:
+        if ss.ml is not None:
+            from ..solvers.multilevel import make_ml_preconditioner
+            M_fn, M_args = make_ml_preconditioner(ss.ml, f32=f32)
+            Z = M_fn(M_args, Rr)
+        else:
+            Z = dinv * Rr
+        Pp = Z
+        rz = jnp.sum(Rr * Z, axis=0)
+        while iters < maxiter and (rn > tol_np).any():
+            active = rn > tol_np
+            X, Rr, Z, Pp, rz, rn_dev = chunk(
+                ss.K, ss.Adv, ss.R, D_vec, mu_vec, m_args, dinv,
+                X, Rr, Z, Pp, rz, tol)
+            iters += chunk_iters
+            rn = np.asarray(rn_dev)
+            col_iters[active] = iters
     from ..parallel.sweep import unpermute_columns
     Xout = unpermute_columns(sys, jnp.moveaxis(X, 0, 1))
     return Xout, {"iters": col_iters, "resnorm": rn,

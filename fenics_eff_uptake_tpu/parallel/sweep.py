@@ -317,15 +317,30 @@ def build_transport_system(mesh: MeshData, element="P2",
     if pad_shapes is None:
         pad_shapes = jax.default_backend() == "tpu"
     ck = None
+    memo_key = None
     if disk_cache:
         ck = _system_cache_key(mesh, element, u_values, u_space,
                                robin_degree, pad_shapes, dirichlet,
                                with_robin, pad_granularity, band)
         if ck is not None:
+            # in-process memo ABOVE the disk cache: a warm study/bench
+            # rebuild for a geometry already assembled this process
+            # (e.g. per-geometry MG setup) skips the npz read +
+            # FunctionSpace + array conversions entirely (~1.1 s of the
+            # warm build_multilevel floor).  Keyed also by the effective
+            # device so the CPU-built level systems never leak into a
+            # different placement context.
+            dev = getattr(jax.config, "jax_default_device", None)
+            memo_key = (ck, str(dev), jax.default_backend())
+            hit = _TSYS_MEMO.get(memo_key)
+            if hit is not None:
+                return hit
             from ..utils.diskcache import load_arrays
             hit = load_arrays("tsys", ck)
             if hit is not None:
-                return _system_from_arrays(hit, mesh, element)
+                out = _system_from_arrays(hit, mesh, element)
+                _tsys_memo_put(memo_key, out)
+                return out
     space = FunctionSpace(mesh, element)
     bottom = mesh.bc_marker == MARKERS["bottom"]
 
@@ -394,7 +409,21 @@ def build_transport_system(mesh: MeshData, element="P2",
     if ck is not None:
         from ..utils.diskcache import store_arrays
         store_arrays("tsys", ck, _system_to_arrays(out))
+        if memo_key is not None:
+            _tsys_memo_put(memo_key, out)
     return out
+
+
+_TSYS_MEMO: dict = {}
+
+
+def _tsys_memo_put(key, sys_out, cap=24):
+    """Bounded FIFO memo for disk-cached level systems (the MG levels of
+    the ~3 live geometries of a study step; each is a few MB of host
+    arrays)."""
+    _TSYS_MEMO[key] = sys_out
+    while len(_TSYS_MEMO) > cap:
+        _TSYS_MEMO.pop(next(iter(_TSYS_MEMO)))
 
 
 def robin_matrices_for_mu(sys: TransportSystem, mu, degree=None):
@@ -1117,6 +1146,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
         X = X0
         total_iters = np.zeros(B, dtype=np.int64)
         resnorm = bnorm.copy()
+        n_passes = 0
         if not use_fused and not nonsym:
             # ONE device dispatch per refinement pass (f64 residual +
             # early-exit f32 CG + f64 update + residual norms fused).
@@ -1157,6 +1187,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                     inner_rtol)
                 resnorm = np.asarray(rn_dev)
                 total_iters = np.asarray(tot, dtype=np.int64)
+                n_passes = int(np.asarray(passes))
             else:
                 refine = _refine_program(sys_struct_key(sys), M32_fn,
                                          n_iters=min(300, maxiter))
@@ -1166,6 +1197,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                                             tol_dev, inner_rtol)
                     resnorm = np.asarray(rn_dev)
                     total_iters += np.asarray(cit, dtype=np.int64)
+                    n_passes = _ref + 1
                     _tt = _t(f"refine {_ref}: "
                              f"({int(np.asarray(cit).max())} iters)", _tt)
                     if (resnorm <= tol).all():
@@ -1183,6 +1215,7 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
                                         tol_dev, 1e-4)
                 resnorm = np.asarray(rn_dev)
                 total_iters += np.asarray(cit, dtype=np.int64)
+                n_passes = _ref + 1
                 _tt = _t(f"refine {_ref}: pass "
                          f"({int(np.asarray(cit).max())} iters, max rel "
                          f"{(resnorm / np.maximum(bnorm, 1e-300)).max():.2e})",
@@ -1209,9 +1242,11 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
     # strip padding dofs + undo the band (RCM) renumbering
     bnorm_out = np.asarray(jnp.linalg.norm(RHS, axis=0))
     rel = np.asarray(resnorm) / np.where(bnorm_out > 0, bnorm_out, 1.0)
-    return (unpermute_columns(sys, jnp.moveaxis(X, 0, 1)),
-            {"iters": np.asarray(iters), "resnorm": np.asarray(resnorm),
-             "rel_resnorm": rel})
+    info = {"iters": np.asarray(iters), "resnorm": np.asarray(resnorm),
+            "rel_resnorm": rel}
+    if precision not in ("f64", "f32"):
+        info["passes"] = n_passes   # outer f64 defect-correction passes
+    return (unpermute_columns(sys, jnp.moveaxis(X, 0, 1)), info)
 
 
 # ---------------------------------------------------------------------------

@@ -99,3 +99,42 @@ def test_production_sharded_solve_matches_vmapped():
                            precision="f64", multilevel=ml,
                            chunk_iters=20, maxiter=2000)
     assert np.abs(np.asarray(X_sh) - np.asarray(X_ref)).max() < 1e-9
+
+
+def test_sharded_bicgstab_advective_matches_vmapped():
+    """Nonsymmetric (adv-diff) sweep under shard_map == solve_sweep.
+
+    Exercises the sharded BiCGStab chunk (parallel/sharded_solve.py
+    _bicgstab_chunk_sharded): DP over "sweep" x element-partitioned
+    operator with psum("cells"), Poiseuille advection, Jacobi M.
+    """
+    import jax.numpy as jnp
+    from fenics_eff_uptake_tpu.fem.space import FunctionSpace
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.parallel.sharded_solve import (
+        build_sharded_system, sharded_solve_sweep)
+    from fenics_eff_uptake_tpu.parallel.sweep import (
+        build_transport_system, solve_sweep)
+
+    kw = dict(width=5.0, height=1.0, sulcus_depth=0.25, sulcus_width=0.25,
+              refinement_factor=1, domain_type="sulcus")
+    m = generate_mesh(mesh_size=0.15, **kw)
+    V = FunctionSpace(m, "P2", vs=2)
+    xy = V.dof_coords
+    u = np.zeros(V.ndofs)
+    u[0::2] = 4.0 * xy[:, 1] * (1.0 - xy[:, 1])
+    sys_t = build_transport_system(m, element="P2", pad_shapes=False,
+                                   u_values=jnp.asarray(u), u_space=V)
+    assert sys_t.Adv is not None
+    mus = np.array([0.1, 0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0])
+    D = np.full_like(mus, 0.25)
+
+    dev_mesh = make_device_mesh(8, tp=2)   # 4-way sweep x 2-way cells
+    ss = build_sharded_system(sys_t, dev_mesh)
+    X_sh, info = sharded_solve_sweep(ss, D, mus, rtol=1e-11,
+                                     chunk_iters=40, maxiter=4000)
+    assert (info["rel_resnorm"] < 1e-10).all()
+
+    X_ref, _ = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-12,
+                           precision="f64", chunk_iters=40, maxiter=4000)
+    assert np.abs(np.asarray(X_sh) - np.asarray(X_ref)).max() < 1e-8
