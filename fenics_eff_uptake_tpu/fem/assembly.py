@@ -53,13 +53,6 @@ def cell_geometry(vertices, cells):
     return detJ, invJT
 
 
-def _phys_grads(space: FunctionSpace, invJT, degree):
-    qp, qw = triangle_rule(degree)
-    gref = tabulate_grad(space.element, qp)   # (Q,nd,2)
-    G = jnp.einsum("tab,qib->tqia", invJT, _f(gref))
-    return _f(qw), G
-
-
 def _padded_cell_arrays(space: FunctionSpace, pad):
     """Host-pad (vertices, cells, cell_dofs) to the bucket shapes so the
     device assembly einsums compile ONCE per shape class instead of once
@@ -88,6 +81,81 @@ def _padded_cell_arrays(space: FunctionSpace, pad):
     return verts, cells, cd, mask, ndofs_p
 
 
+# ---------------------------------------------------------------------------
+# fused device kernels
+#
+# Each block builder's device computation is ONE jitted program.  The
+# eager op-by-op path issued ~130 tiny dispatches per fresh assembly; on
+# the axon remote runtime every dispatch pays a round-trip of erratic
+# latency (measured 0.1-1 s each -> 16-137 s of cold-assembly variance
+# for identical inputs), so the dispatch COUNT, not the FLOPs, set the
+# cold cost.  Tabulation tables and quadrature weights travel as traced
+# arguments, so one compiled program serves every mesh in a shape bucket.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _stiffness_dev(verts, cells, qw, gref, mask, d):
+    detJ, invJT = cell_geometry(verts, cells)
+    G = jnp.einsum("tab,qib->tqia", invJT, gref)
+    K = jnp.einsum("q,tqia,tqja,t->tij", qw, G, G, detJ) * d
+    if mask is not None:
+        K = K * mask[:, None, None]
+    return K
+
+
+@jax.jit
+def _mass_dev(verts, cells, qw, phi, mask, coeff):
+    detJ, _ = cell_geometry(verts, cells)
+    M = jnp.einsum("q,qi,qj,t->tij", qw, phi, phi, detJ) * coeff
+    if mask is not None:
+        M = M * mask[:, None, None]
+    return M
+
+
+@jax.jit
+def _advection_dev(verts, cells, qw, phi, gref, phi_u, u_flat, ucd, mask):
+    detJ, invJT = cell_geometry(verts, cells)
+    G = jnp.einsum("tab,qib->tqia", invJT, gref)
+    u_cell = u_flat[ucd]
+    u_cell = u_cell.reshape(u_cell.shape[0], -1, 2)
+    u_q = jnp.einsum("qk,tka->tqa", phi_u, u_cell)
+    A = jnp.einsum("q,qi,tqa,tqja,t->tij", qw, phi, u_q, G, detJ)
+    if mask is not None:
+        A = A * mask[:, None, None]
+    return A
+
+
+@jax.jit
+def _robin_dev(w, mu_q, tabs, le, lens):
+    phi_f = tabs[le]
+    return jnp.einsum("q,fq,fqi,fqj,f->fij", w, mu_q, phi_f, phi_f, lens)
+
+
+@jax.jit
+def _vector_stiffness_dev(verts, cells, qw, gref, coeff):
+    detJ, invJT = cell_geometry(verts, cells)
+    G = jnp.einsum("tab,qib->tqia", invJT, gref)
+    K = jnp.einsum("q,tqia,tqja,t->tij", qw, G, G, detJ) * coeff
+    T, nd, _ = K.shape
+    A = jnp.zeros((T, 2 * nd, 2 * nd), dtype=K.dtype)
+    A = A.at[:, 0::2, 0::2].set(K)
+    A = A.at[:, 1::2, 1::2].set(K)
+    return A
+
+
+@jax.jit
+def _divergence_dev(verts, cells, qw, psi, gref, mask):
+    detJ, invJT = cell_geometry(verts, cells)
+    G = jnp.einsum("tab,qib->tqia", invJT, gref)
+    Bd = jnp.einsum("q,qk,tqjb,t->tkjb", qw, psi, G, detJ)
+    T, npp, ndu, _ = Bd.shape
+    B = -Bd.reshape(T, npp, 2 * ndu)
+    if mask is not None:
+        B = B * mask[:, None, None]
+    return B
+
+
 def stiffness_block(space: FunctionSpace, D=1.0, degree=2,
                     pad=None) -> ElementBlock:
     """K_e[i,j] = D * int grad(phi_i).grad(phi_j) dx  (ref solvers.py:140).
@@ -102,11 +170,10 @@ def stiffness_block(space: FunctionSpace, D=1.0, degree=2,
     else:
         vh, ch, cd, mh, ndofs = _padded_cell_arrays(space, pad)
         verts, cells, mask = _f(vh), jnp.asarray(ch), _f(mh)
-    detJ, invJT = cell_geometry(verts, cells)
-    qw, G = _phys_grads(space, invJT, degree)
-    K = jnp.einsum("q,tqia,tqja,t->tij", qw, G, G, detJ) * D
-    if mask is not None:
-        K = K * mask[:, None, None]
+    qp, qw = triangle_rule(degree)
+    gref = tabulate_grad(space.element, qp)
+    K = _stiffness_dev(verts, cells, _f(qw), _f(gref), mask,
+                       jnp.asarray(float(D)))
     return ElementBlock.build(K, cd, ndofs)
 
 
@@ -120,12 +187,10 @@ def mass_block(space: FunctionSpace, coeff=1.0, degree=4,
     else:
         vh, ch, cd, mh, ndofs = _padded_cell_arrays(space, pad)
         verts, cells, mask = _f(vh), jnp.asarray(ch), _f(mh)
-    detJ, _ = cell_geometry(verts, cells)
     qp, qw = triangle_rule(degree)
-    phi = _f(tabulate(space.element, qp))     # (Q,nd)
-    M = jnp.einsum("q,qi,qj,t->tij", _f(qw), phi, phi, detJ) * coeff
-    if mask is not None:
-        M = M * mask[:, None, None]
+    phi = tabulate(space.element, qp)     # (Q,nd)
+    M = _mass_dev(verts, cells, _f(qw), _f(phi), mask,
+                  jnp.asarray(float(coeff)))
     return ElementBlock.build(M, cd, ndofs)
 
 
@@ -158,18 +223,12 @@ def advection_block(space: FunctionSpace, u_values, u_space: FunctionSpace,
         u_np = np.zeros(-(-len(u_raw) // 16384) * 16384)
         u_np[:len(u_raw)] = u_raw
         u_flat = _f(u_np)
-    detJ, invJT = cell_geometry(verts, cells)
     qp, qw = triangle_rule(degree)
-    phi = _f(tabulate(space.element, qp))         # (Q,nd)
-    gref = _f(tabulate_grad(space.element, qp))   # (Q,nd,2)
-    G = jnp.einsum("tab,qib->tqia", invJT, gref)
-    phi_u = _f(tabulate(u_space.element, qp))     # (Q,ndu)
-    u_cell = u_flat[jnp.asarray(ucd)]             # (T, 2*ndu)
-    u_cell = u_cell.reshape(u_cell.shape[0], -1, 2)      # (T,ndu,2)
-    u_q = jnp.einsum("qk,tka->tqa", phi_u, u_cell)       # (T,Q,2)
-    A = jnp.einsum("q,qi,tqa,tqja,t->tij", _f(qw), phi, u_q, G, detJ)
-    if mask is not None:
-        A = A * mask[:, None, None]
+    phi = tabulate(space.element, qp)         # (Q,nd)
+    gref = tabulate_grad(space.element, qp)   # (Q,nd,2)
+    phi_u = tabulate(u_space.element, qp)     # (Q,ndu)
+    A = _advection_dev(verts, cells, _f(qw), _f(phi), _f(gref),
+                       _f(phi_u), _f(u_flat), jnp.asarray(ucd), mask)
     return ElementBlock.build(A, cd, ndofs)
 
 
@@ -180,13 +239,10 @@ def vector_stiffness_block(vspace: FunctionSpace, coeff=1.0,
     mesh = vspace.mesh
     verts = _f(mesh.vertices)
     cells = jnp.asarray(mesh.cells)
-    detJ, invJT = cell_geometry(verts, cells)
-    qw, G = _phys_grads(vspace, invJT, degree)
-    K = jnp.einsum("q,tqia,tqja,t->tij", qw, G, G, detJ) * coeff  # (T,nd,nd)
-    T, nd, _ = K.shape
-    A = jnp.zeros((T, 2 * nd, 2 * nd), dtype=K.dtype)
-    A = A.at[:, 0::2, 0::2].set(K)
-    A = A.at[:, 1::2, 1::2].set(K)
+    qp, qw = triangle_rule(degree)
+    gref = tabulate_grad(vspace.element, qp)
+    A = _vector_stiffness_dev(verts, cells, _f(qw), _f(gref),
+                              jnp.asarray(float(coeff)))
     return ElementBlock.build(A, vspace.cell_dofs, vspace.ndofs)
 
 
@@ -226,18 +282,12 @@ def divergence_block(pspace: FunctionSpace, vspace: FunctionSpace,
         mh = np.zeros(T_pad)
         mh[:T] = 1.0
         verts, cells, mask = _f(vh), jnp.asarray(ch), _f(mh)
-    detJ, invJT = cell_geometry(verts, cells)
     qp, qw = triangle_rule(degree)
-    psi = _f(tabulate(pspace.element, qp))            # (Q,np)
-    gref = _f(tabulate_grad(vspace.element, qp))      # (Q,ndu,2)
-    G = jnp.einsum("tab,qib->tqia", invJT, gref)      # (T,Q,ndu,2)
-    Bd = jnp.einsum("q,qk,tqjb,t->tkjb", _f(qw), psi, G, detJ)  # (T,np,ndu,2)
-    T, npp, ndu, _ = Bd.shape
-    B = -Bd.reshape(T, npp, 2 * ndu)                  # interleave (j,b)
-    # interleaved velocity layout: col (2j+b); reshape above gives (j,b)
-    # pairs in exactly that order since b is the fastest axis.
-    if mask is not None:
-        B = B * mask[:, None, None]
+    psi = tabulate(pspace.element, qp)            # (Q,np)
+    gref = tabulate_grad(vspace.element, qp)      # (Q,ndu,2)
+    # interleaved velocity layout: col (2j+b); the kernel's reshape gives
+    # (j,b) pairs in exactly that order since b is the fastest axis.
+    B = _divergence_dev(verts, cells, _f(qw), _f(psi), _f(gref), mask)
     return RectBlock.build(B, rd, cdv, pspace.ndofs, vspace.ndofs)
 
 
@@ -315,9 +365,8 @@ def robin_facet_block(space: FunctionSpace, facet_mask,
         fdofs = np.concatenate(
             [fdofs, np.full((padF, fdofs.shape[1]), dummy)])
     tabs = _edge_tables(space.element, t)          # (3,Q,nd)
-    phi_f = _f(tabs)[jnp.asarray(le)]              # (F,Q,nd)
-    R = jnp.einsum("q,fq,fqi,fqj,f->fij",
-                   _f(w), _f(mu_q), phi_f, phi_f, _f(lens))
+    R = _robin_dev(_f(w), _f(mu_q), _f(tabs), jnp.asarray(le),
+                   _f(lens))
     return ElementBlock.build(R, fdofs, ndofs)
 
 

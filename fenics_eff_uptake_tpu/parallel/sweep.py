@@ -211,6 +211,12 @@ def _band_plans_for(mesh, element, K: _Block, Adv, R, ndofs, n_true,
         new2old, old2new, Kp, Advp, Rp, plan_K = hit
         return (new2old, old2new, _fresh(Kp, K), _fresh(Advp, Adv),
                 _fresh(Rp, R), plan_K)
+    # drain the dispatch queue BEFORE the device->host dof pull: on the
+    # axon tunnel a pull issued behind queued async dispatches was
+    # measured at 70-200 s vs <1 s on a drained queue -- this one sync
+    # is the whole difference between a 4 s and a 97 s cold build.  The
+    # warm path (mesh.info hit above) never reaches it.
+    jax.block_until_ready((K.A32, None if R is None else R.A32))
     new2old, old2new = best_bandwidth_permutation(
         np.asarray(K.dofs), dof_coords, n_true, ndofs)
     Kp = _permute_block(K, old2new)
@@ -341,8 +347,31 @@ def build_transport_system(mesh: MeshData, element="P2",
                 out = _system_from_arrays(hit, mesh, element)
                 _tsys_memo_put(memo_key, out)
                 return out
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("FEU_TIMING") == "1"
+    # First build of a shape class: drain the dispatch queue at every
+    # stage boundary.  The axon tunnel executes a DEEP async queue with
+    # compile/program-load events in it pathologically (measured 70-230 s
+    # for a cold build whose drained-queue stage times sum to <5 s);
+    # stage-wise drains keep the queue shallow.  Warm rebuilds of an
+    # already-seen shape class skip the drains -- they would serialize
+    # host/device overlap (~+0.1 s on the 0.22 s warm rebuild).
+    # (_cold is set once pad_c/pad_r are known, below.)
+    _cold = True
+
+    def _t(msg, t0, sync=None):
+        if sync is not None and (_cold or _dbg):
+            jax.block_until_ready(sync)
+        if _dbg:
+            print(f"[build_tsys] {msg}: {_time.time() - t0:.2f}s",
+                  flush=True)
+        return _time.time()
+
+    _tt = _time.time()
     space = FunctionSpace(mesh, element)
     bottom = mesh.bc_marker == MARKERS["bottom"]
+    _tt = _t("space", _tt)
 
     # assemble AT the bucket shapes (host-padded inputs): every device
     # einsum in the assembly then compiles once per shape class instead
@@ -357,17 +386,23 @@ def build_transport_system(mesh: MeshData, element="P2",
         pad_c = (_bucket(len(mesh.cells), g_cell), ndofs_p, dummy,
                  _bucket(len(mesh.vertices) + 3, g_cell))
         pad_r = (_bucket(int(bottom.sum()), g_facet), ndofs_p, dummy)
+    _shape_key = (element, pad_c, pad_r, u_values is not None)
+    _cold = _shape_key not in _BUILT_SHAPES
+    _BUILT_SHAPES.add(_shape_key)
 
     K = _from_element_block(stiffness_block(space, D=1.0, pad=pad_c))
+    _tt = _t("stiffness", _tt, sync=K.A32)
     Adv = None
     if u_values is not None:
         Adv = _from_element_block(
             advection_block(space, u_values, u_space, pad=pad_c))
+        _tt = _t("advection", _tt, sync=Adv.A32)
     R = None
     if with_robin and bottom.any():
         kw = {} if robin_degree is None else {"degree": robin_degree}
         R = _from_element_block(robin_facet_block(space, bottom, mu=1.0,
                                                   pad=pad_r, **kw))
+        _tt = _t("robin", _tt, sync=R.A32)
     if dirichlet is None:
         dirichlet = [(MARKERS["left"], 1.0), (MARKERS["right"], 0.0)]
     bc = make_bc(space, dirichlet)
@@ -375,19 +410,19 @@ def build_transport_system(mesh: MeshData, element="P2",
     bc_values = bc.values
     ndofs = space.ndofs
 
+    # keep free/bc_values as HOST arrays until the final conversion:
+    # the pad-concat and the band permutation below are then pure numpy
+    # (each jnp op here is an eager device round-trip in the cold path)
+    free = np.asarray(free)
+    bc_values = np.asarray(bc_values)
     if pad_shapes:
         pad = ndofs_p - ndofs
-        # padding dofs are constrained to 0 (identity rows, zero rhs);
-        # host numpy concats (a jnp.concatenate here is a per-geometry
-        # compile)
-        free = jnp.asarray(np.concatenate(
-            [np.asarray(free), np.zeros(pad, dtype=bool)]))
-        bc_values = jnp.asarray(np.concatenate(
-            [np.asarray(bc_values), np.zeros(pad)]))
+        # padding dofs are constrained to 0 (identity rows, zero rhs)
+        free = np.concatenate([free, np.zeros(pad, dtype=bool)])
+        bc_values = np.concatenate([bc_values, np.zeros(pad)])
         ndofs = ndofs_p
 
     if band is None:
-        import os as _os
         band = (pad_shapes and ndofs % _BAND_TILE == 0
                 and _os.environ.get("FEU_BAND", "1") == "1")
     Kband = Advband = perm = iperm = None
@@ -396,16 +431,19 @@ def build_transport_system(mesh: MeshData, element="P2",
         perm, iperm, K, Adv, R, plan_K = _band_plans_for(
             mesh, element, K, Adv, R, ndofs, space.ndofs,
             dof_coords=np.asarray(space.dof_coords))
-        free = free[jnp.asarray(perm)]
-        bc_values = bc_values[jnp.asarray(perm)]
+        _tt = _t("band plans", _tt)
+        free = free[np.asarray(perm)]
+        bc_values = bc_values[np.asarray(perm)]
         Kband = band_from_elements(K.A32, plan_K)
         if Adv is not None:
             Advband = band_from_elements(Adv.A32, plan_K)
+        _tt = _t("band scatter", _tt, sync=Kband)
 
-    out = TransportSystem(K=K, Adv=Adv, R=R, free=free,
-                          bc_values=bc_values, ndofs=ndofs,
+    out = TransportSystem(K=K, Adv=Adv, R=R, free=jnp.asarray(free),
+                          bc_values=jnp.asarray(bc_values), ndofs=ndofs,
                           space=space, Kband=Kband, Advband=Advband,
                           perm=perm, iperm=iperm)
+    _tt = _t("finalize", _tt, sync=(out.free, out.K.A64))
     if ck is not None:
         from ..utils.diskcache import store_arrays
         store_arrays("tsys", ck, _system_to_arrays(out))
@@ -415,6 +453,9 @@ def build_transport_system(mesh: MeshData, element="P2",
 
 
 _TSYS_MEMO: dict = {}
+
+# shape classes already built this process (stage-drain bookkeeping)
+_BUILT_SHAPES: set = set()
 
 
 def _tsys_memo_put(key, sys_out, cap=24):
