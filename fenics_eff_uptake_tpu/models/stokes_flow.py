@@ -413,16 +413,30 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
         VT = VTf.reshape(ns_pad, 2, KZ)
         VT = jnp.where(free[:, None, None], VT, 0.0)
 
-        # one V-cycle apply per mode through the f32 cycle -- the SAME
-        # (n, 2) program the mixed-precision MINRES passes run, so no
-        # extra compile (the f64 cycle would compile only for this) and
-        # each apply is a fast f32 dispatch.  f32 mode images are ample
-        # for a PRECONDITIONER basis: S_Z entries carry ~1e-7 relative
-        # noise against an approximation already ~O(1) from MG(A)~A.
+        # ALL mode images through the f32 cycle in ONE wide apply: the
+        # V-cycle program is structure-keyed with the column count as a
+        # traced dimension, so a (n, 2*KZ) call compiles once per level
+        # shape class (shared by every geometry of a study) and replaces
+        # the KZ=48 sequential (n, 2) dispatches that dominated the
+        # warm deflation build (4.8 s -> one dispatch).  D/mu vectors
+        # broadcast to the wide width (all columns are unit-D Laplacian
+        # components).  f32 mode images are ample for a PRECONDITIONER
+        # basis: S_Z entries carry ~1e-7 relative noise against an
+        # approximation already ~O(1) from MG(A)~A.
         Mfn32, Margs32 = Mv32
         VT32 = VT.astype(jnp.float32)
-        Wcols = [Mfn32(Margs32, VT32[:, :, k]) for k in range(KZ)]
-        Wm = jnp.stack(Wcols, axis=-1)          # (ns_pad, 2, KZ)
+        lv_a, fc_a, Ai_a, Dv_a, mu_a, om_a = Margs32
+        # degenerate batch dims broadcast inside the traced program
+        # (dinv (n,1) against (n,2KZ); Ainv (1,nc,nc) in the batched
+        # coarse matmul), so no (2KZ, nc, nc) inverse copies
+        # materialise; D/mu ride as full-width coef vectors.
+        lv_w = tuple(la._replace(dinv=la.dinv[:, :1]) for la in lv_a)
+        wide_args = (lv_w, fc_a, Ai_a[:1],
+                     jnp.ones(2 * KZ, Dv_a.dtype),
+                     jnp.zeros(2 * KZ, mu_a.dtype), om_a)
+        Xwide = VT32.transpose(0, 2, 1).reshape(VT32.shape[0], 2 * KZ)
+        Wwide = Mfn32(wide_args, Xwide)
+        Wm = Wwide.reshape(VT32.shape[0], KZ, 2).transpose(0, 2, 1)
         S_Z = np.asarray(jnp.einsum(
             "nik,niz->kz", VT, Wm.astype(jnp.float64),
             precision=jax.lax.Precision.HIGHEST))

@@ -250,6 +250,14 @@ def build_rect_band_plan(rows, cols, vals, n_rows, n_cols, tile=256,
             continue
         n_cols_pad = max(int((offs + W).max()),
                          -(-n_cols // 128) * 128)
+        # quantise the X pad length: n_cols_pad enters the band-apply
+        # program's traced shape (and through it every V-cycle / MINRES
+        # chunk struct key), so a raw per-geometry value recompiled the
+        # whole solver stack for every new mesh of a study (measured
+        # 97 s transfer-scatter + 30-70 s MINRES chunk per geometry on
+        # the remote TPU compiler).  2048-multiples cost <2% extra
+        # zero-pad on the (n_cols_pad, B) window copy.
+        n_cols_pad = -(-n_cols_pad // 2048) * 2048
         w_idx = cols - offs[tidx]
         flat = (tidx * t_r + rows % t_r) * W + w_idx
         flat = np.where(live, flat, T * t_r * W)   # dump slot

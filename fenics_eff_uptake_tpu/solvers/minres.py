@@ -158,6 +158,19 @@ def minres_tree(A, b, M=None, x0=None, rtol=1e-10, maxiter=2000,
         chunk = _minres_chunk(A_fn, M_fn, chunk_iters)
         _CHUNK_CACHE[key] = (chunk, A_fn, M_fn)
 
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("FEU_TIMING") == "1"
+    _tp = _time.perf_counter()
+
+    def _tick(msg):
+        nonlocal _tp
+        if _dbg:
+            now = _time.perf_counter()
+            print(f"    [minres] {msg}: {now - _tp:.2f}s", flush=True)
+            _tp = now
+
+    _tick(f"pre-chunk (cache {'hit' if hit is not None else 'miss'})")
     dispatched = 0
     rn = float(gam)
     tol_f = float(tol)
@@ -165,6 +178,7 @@ def minres_tree(A, b, M=None, x0=None, rtol=1e-10, maxiter=2000,
         state, rn_dev = chunk(a_args, m_args, state, tol)
         dispatched += chunk_iters
         rn = float(rn_dev)
+        _tick(f"chunk@{dispatched}")
     x = state[0]
     # state[-1] counts only ACTIVE iterations (updates are masked once
     # |eta| <= tol), so this is the true count, not the chunk-quantised

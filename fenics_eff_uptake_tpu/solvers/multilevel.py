@@ -1102,7 +1102,7 @@ def _aligned_plans_cached(cols, w, nf, nc_l):
     per level per process otherwise.  Returns (content_key, plans)."""
     from ..ops.banded import RectBandPlan, aligned_transfer_plans
     from ..utils.diskcache import cache_key_of, cached_arrays
-    key = cache_key_of("tbandplan-v1", cols, w, nf, nc_l)
+    key = cache_key_of("tbandplan-v2", cols, w, nf, nc_l)
     memo = _TBAND_PLAN_MEMO.get(key)
     if memo is not None:
         return key, memo
@@ -1142,31 +1142,28 @@ def _aligned_plans_cached(cols, w, nf, nc_l):
     return key, out
 
 
-_TBAND_VALS_CACHE: dict = {}
 
 
 def _tband_values_all(plans, vals):
-    """All transfer-band scatters of a ladder as ONE jitted dispatch."""
-    key = tuple((int(np.asarray(p.ids).shape[0]),
-                 p.tiles * p.tile * p.width) for p in plans)
-    prog = _TBAND_VALS_CACHE.get(key)
-    if prog is None:
-        segs = [s + 1 for _, s in key]
+    """Transfer-band scatters, one cached program PER PLAN SHAPE.
 
-        @jax.jit
-        def prog(vals, perms, ids):
-            return [
-                jax.ops.segment_sum(v.ravel()[pm], id_,
-                                    num_segments=sg,
-                                    indices_are_sorted=True)[:-1]
-                for v, pm, id_, sg in zip(vals, perms, ids, segs)]
-
-        _TBAND_VALS_CACHE[key] = prog
-    outs = prog([jnp.asarray(v) for v in vals],
-                [jnp.asarray(p.perm) for p in plans],
-                [jnp.asarray(p.ids) for p in plans])
-    return [o.reshape(p.tiles, p.tile, p.width)
-            for o, p in zip(outs, plans)]
+    A single fused program (round 3) keyed on the concatenation of all
+    six (entries, segments) pairs recompiled whenever ANY level of a new
+    geometry differed -- ~97 s of remote XLA compile per study geometry.
+    Per-plan programs are keyed on their own (M, segs) pair, which the
+    level size buckets + the W menu keep stable across geometries; the
+    extra dispatches cost ~0.1 s each only on the cache-miss path
+    (_TBAND_DEV_CACHE serves warm rebuilds with zero dispatches)."""
+    from ..ops.banded import _rect_values_program
+    outs = []
+    for p, v in zip(plans, vals):
+        M = int(np.asarray(p.ids).shape[0])
+        segs = p.tiles * p.tile * p.width + 1
+        prog = _rect_values_program(M, segs)
+        flat = prog(jnp.asarray(v), jnp.asarray(p.perm),
+                    jnp.asarray(p.ids))
+        outs.append(flat.reshape(p.tiles, p.tile, p.width))
+    return outs
 
 
 def _ml_struct_key(ml: MultilevelData, f32: bool):
