@@ -483,7 +483,7 @@ def _stokes_mg_setup(mesh: MeshData, H: float,
 
 
 def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
-                    chunk_iters=120, precision=None,
+                    chunk_iters=None, precision=None,
                     level_factors=(3.0, 9.0),
                     pin_outlet_pressure=False, pad_shapes=None):
     """Stokes via block-preconditioned MINRES (the production path).
@@ -506,6 +506,12 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
 
     if precision is None:
         precision = ("mixed" if jax.default_backend() == "tpu" else "f64")
+    if chunk_iters is None:
+        # each defect pass converges in 48-80 MINRES iterations at study
+        # scale; the chunk's masked updates mean a dispatched iteration
+        # costs full compute whether active or not, so 80 (vs the old
+        # 120) cuts ~1/3 of the solve FLOPs without adding round trips
+        chunk_iters = int(_os.environ.get("FEU_STOKES_CHUNK", "80"))
 
     st = _stokes_mg_setup(mesh, H, level_factors=level_factors,
                           pin_outlet_pressure=pin_outlet_pressure,
@@ -584,13 +590,20 @@ def stokes_solve_mg(mesh: MeshData, H: float, rtol=1e-11, maxiter=3000,
 
 
 def stokes_solve(mesh: MeshData, H: float,
-                 inner_rtol=5e-13, outer_rtol=1e-11,
+                 inner_rtol=5e-13, outer_rtol=1e-9,
                  outer_maxiter=400, precision=None):
     """Solve Stokes flow; returns (u Function on V, p Function on Q).
 
     Default path: block-preconditioned MINRES + velocity multigrid
     (stokes_solve_mg; equivalence-tested against the Schur-CG path at
     1e-10).  FEU_STOKES=schur selects the round-1 Uzawa/Schur solver.
+
+    outer_rtol=1e-9: each f64 defect pass gains ~4.5 orders, so the
+    solve stops after 2 MINRES passes (~125 iters) with a true relative
+    residual ~4e-10 -- five-plus orders below the 1e-3..1e-4
+    mesh-realisation floors every golden comparison sits on.  The old
+    1e-11 default bought a third full pass for accuracy no downstream
+    consumer can observe.
 
     The solved fields are disk-checkpointed per (mesh, H, rtol,
     method) -- a Stokes solve is ~60 s on TPU at study scale and the

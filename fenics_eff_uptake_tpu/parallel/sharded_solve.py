@@ -35,7 +35,8 @@ except ImportError:  # jax < 0.8
     from jax.experimental.shard_map import shard_map
 
 __all__ = ["build_sharded_system", "sharded_solve_sweep",
-           "ShardedSystem"]
+           "ShardedSystem", "build_sharded_stokes",
+           "sharded_stokes_solve", "ShardedStokes"]
 
 
 class _ShardBlockArgs(NamedTuple):
@@ -485,3 +486,315 @@ def sharded_solve_sweep(ss: ShardedSystem, D_values, mu_values,
     Xout = unpermute_columns(sys, jnp.moveaxis(X, 0, 1))
     return Xout, {"iters": col_iters, "resnorm": rn,
                   "rel_resnorm": rn / np.where(bnorm > 0, bnorm, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# Sharded Stokes: block-preconditioned MINRES on the saddle system under
+# the same device mesh.  The velocity stiffness and the divergence
+# coupling are element-partitioned over "cells" (one fused psum per
+# saddle apply); the (U (ns,2), p (np,)) iterate, the velocity V-cycle's
+# mid/coarse levels, and the Schur-deflation basis are replicated --
+# identical redundant vector math on every device beats communicating
+# state that fits everywhere.  Matches the reference's latent MPI
+# capability for its Stokes LU solve (ref solvers.py:291-298) the TPU
+# way: collectives ride ICI inside one jitted chunk.
+# ---------------------------------------------------------------------------
+
+
+class _ShardRectArgs(NamedTuple):
+    """Divergence block split into per-"cells"-shard chunks; each chunk
+    scatters locally into the FULL pressure / velocity index spaces
+    (summed via one psum with the stiffness apply)."""
+    Be: jnp.ndarray          # (tp, NB_loc, nr, ncol)
+    rd: jnp.ndarray          # (tp, NB_loc, nr)    pressure rows
+    cd: jnp.ndarray          # (tp, NB_loc, ncol)  2*ns interleaved cols
+    rperm: jnp.ndarray
+    rids: jnp.ndarray
+    cperm: jnp.ndarray
+    cids: jnp.ndarray
+
+
+def _split_rect_block(Bargs, tp: int, np_pad: int, ns2: int):
+    """Split padded (Be, rd, cd, ...) divergence arrays into tp chunks
+    with per-chunk row/col scatter plans.  Padding entities carry zero
+    matrices and scatter into the last (constrained) dofs -- no-ops."""
+    Be = np.asarray(Bargs[0])
+    rd = np.asarray(Bargs[1])
+    cd = np.asarray(Bargs[2])
+    NB, nr, ncol = Be.shape
+    NB_loc = (NB + tp - 1) // tp
+    NB_pad = NB_loc * tp
+    if NB_pad > NB:
+        Be = np.concatenate(
+            [Be, np.zeros((NB_pad - NB, nr, ncol), Be.dtype)])
+        rd = np.concatenate(
+            [rd, np.full((NB_pad - NB, nr), np_pad - 1, rd.dtype)])
+        cd = np.concatenate(
+            [cd, np.full((NB_pad - NB, ncol), ns2 - 1, cd.dtype)])
+    Bs, Rs, Cs, RPs, RIs, CPs, CIs = [], [], [], [], [], [], []
+    for t in range(tp):
+        sl = slice(t * NB_loc, (t + 1) * NB_loc)
+        r = rd[sl]
+        c = cd[sl]
+        rids = r.ravel()
+        rperm = np.argsort(rids, kind="stable")
+        cids = c.ravel()
+        cperm = np.argsort(cids, kind="stable")
+        Bs.append(Be[sl]); Rs.append(r); Cs.append(c)
+        RPs.append(rperm); RIs.append(rids[rperm])
+        CPs.append(cperm); CIs.append(cids[cperm])
+    return _ShardRectArgs(
+        Be=jnp.asarray(np.stack(Bs)),
+        rd=jnp.asarray(np.stack(Rs), dtype=jnp.int32),
+        cd=jnp.asarray(np.stack(Cs), dtype=jnp.int32),
+        rperm=jnp.asarray(np.stack(RPs), dtype=jnp.int32),
+        rids=jnp.asarray(np.stack(RIs), dtype=jnp.int32),
+        cperm=jnp.asarray(np.stack(CPs), dtype=jnp.int32),
+        cids=jnp.asarray(np.stack(CIs), dtype=jnp.int32))
+
+
+class ShardedStokes(NamedTuple):
+    st: "object"             # models.stokes_flow.StokesSetup
+    mesh_dev: Mesh
+    K: _ShardBlockArgs       # velocity scalar-stiffness chunks (B=2)
+    Bdiv: _ShardRectArgs
+    m_args_v: "object"       # replicated velocity V-cycle args (f64)
+    ns_pad: int
+    np_pad: int
+
+
+def _ml_spec_replicated(m_args):
+    """PartitionSpecs for the velocity V-cycle args with EVERYTHING
+    replicated (the Stokes iterate has no sweep axis; the cycle's fine
+    level runs through the cells-sharded stiffness separately)."""
+    levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
+
+    def _blk(b):
+        return type(b)(P(), P(), P(), P(),
+                       None if b.band is None else P())
+
+    lev_specs = tuple(
+        type(la)(K=_blk(la.K),
+                 Adv=None if la.Adv is None else _blk(la.Adv),
+                 R=None if la.R is None else _blk(la.R),
+                 R_batch=None if la.R_batch is None else P(),
+                 free=P(), dinv=P(), t_cols=P(), t_w=P(),
+                 t_perm=P(), t_ids=P())
+        for la in levels)
+    return (lev_specs, P(), P(), P(), P(), P())
+
+
+def build_sharded_stokes(mesh_data, H: float, device_mesh: Mesh,
+                         level_factors=(3.0, 9.0)) -> ShardedStokes:
+    """Partition the Stokes saddle system over the mesh's "cells" axis.
+
+    Reuses the single-chip setup (_stokes_mg_setup: RCM-banded velocity
+    system, level hierarchy, lumped pressure mass, coarse-pressure
+    deflation) and splits only the two element blocks that carry the
+    FLOPs.  f64 throughout -- this path exists for meshes exceeding one
+    chip's HBM, where the defect-correction restarts of the mixed
+    single-chip path would double the resident state.
+    """
+    from ..models.stokes_flow import _stokes_mg_setup
+    from ..solvers.multilevel import ml_preconditioner_args
+    st = _stokes_mg_setup(mesh_data, H, level_factors=level_factors)
+    tp = device_mesh.shape["cells"]
+    sysV = st.sysV
+    K = _split_block(sysV.K, tp, sysV.ndofs, sysV.ndofs - 1)
+    Bdiv = _split_rect_block(st.s64[1], tp, st.np_pad, 2 * st.ns_pad)
+    m_args_v = ml_preconditioner_args(st.ml, f32=False, band=False)
+    return ShardedStokes(st=st, mesh_dev=device_mesh, K=K, Bdiv=Bdiv,
+                         m_args_v=m_args_v, ns_pad=st.ns_pad,
+                         np_pad=st.np_pad)
+
+
+def _stokes_shard_ops(sst: ShardedStokes):
+    """Per-shard saddle apply + block preconditioner, and their specs."""
+    st = sst.st
+    ns_pad, np_pad = sst.ns_pad, sst.np_pad
+
+    # reuse the transport-sharding machinery for the velocity V-cycle:
+    # A_bc(Kb, None, None, ones, zeros, U) is the cells-psum vector
+    # Laplacian, make_Mfn the sharded V-cycle around it
+    ss_v = ShardedSystem(sys=st.sysV, mesh_dev=sst.mesh_dev, K=sst.K,
+                         Adv=None, R=None, ml=st.ml, ml_K=sst.K)
+    ops = _sharded_ops(ss_v, f32=False)
+    make_Mfn, blk_spec = ops["make_Mfn"], ops["blk_spec"]
+
+    free = st.sysV.free
+
+    def S_impl(Kb, Bb, free_p, x):
+        """Saddle apply [[A, B^T],[B, 0]] with identity on constrained
+        rows; ONE fused psum("cells") carries all three partial sums."""
+        U, p = x
+        Um = jnp.where(free[:, None], U, 0.0)
+        pm = jnp.where(free_p, p, 0.0)
+        AU_loc = _local_apply(Kb, ns_pad, Um)
+        Be, rd, cd = Bb.Be[0], Bb.rd[0], Bb.cd[0]
+        pe = pm[rd]
+        ye_t = jnp.einsum("nij,ni->nj", Be, pe,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=p.dtype)
+        Btp_loc = jax.ops.segment_sum(
+            ye_t.reshape(-1)[Bb.cperm[0]], Bb.cids[0],
+            num_segments=2 * ns_pad, indices_are_sorted=True)
+        xe = Um.reshape(-1)[cd]
+        ye = jnp.einsum("nij,nj->ni", Be, xe,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=U.dtype)
+        Bu_loc = jax.ops.segment_sum(
+            ye.reshape(-1)[Bb.rperm[0]], Bb.rids[0],
+            num_segments=np_pad, indices_are_sorted=True)
+        AU, Btp_flat, Bu = jax.lax.psum((AU_loc, Btp_loc, Bu_loc),
+                                        "cells")
+        opU = jnp.where(free[:, None],
+                        AU + Btp_flat.reshape(ns_pad, 2), U)
+        return (opU, jnp.where(free_p, Bu, p))
+
+    def M_impl(Kb, m_args_v, mp, Z, Cinv, x):
+        """diag(MG(A) over cells, lumped Mp + Z Cinv Z^T replicated)."""
+        U, p = x
+        Mfn_v = make_Mfn(Kb, None, None, m_args_v, None)
+        Mu = Mfn_v(U)
+        dt = p.dtype
+        Mp_p = mp.astype(dt) * p
+        if Z is not None:
+            Mp_p = Mp_p + Z.astype(dt) @ (
+                Cinv.astype(dt) @ (Z.astype(dt).T @ p))
+        return (Mu, Mp_p)
+
+    rect_spec = _ShardRectArgs(*([P("cells")] * 7))
+    m_spec_v = _ml_spec_replicated(sst.m_args_v)
+    x_spec = (P(), P())
+    return dict(S_impl=S_impl, M_impl=M_impl, blk_spec=blk_spec,
+                rect_spec=rect_spec, m_spec_v=m_spec_v, x_spec=x_spec)
+
+
+_STOKES_SHARD_CACHE = {}
+
+
+def _stokes_chunk_sharded(sst: ShardedStokes, n_iters: int, with_Z: bool):
+    """Jitted shard_map MINRES chunk on the saddle pytree: the
+    single-chip ESW recurrence (solvers/minres.py minres_body) runs
+    replicated per device; only the saddle/V-cycle applies psum."""
+    from ..solvers.minres import minres_body
+    ops = _stokes_shard_ops(sst)
+    S_impl, M_impl = ops["S_impl"], ops["M_impl"]
+    blk_spec, rect_spec = ops["blk_spec"], ops["rect_spec"]
+    m_spec_v, x_spec = ops["m_spec_v"], ops["x_spec"]
+
+    def A_fn(a_args, x):
+        Kb, Bb, free_p = a_args
+        return S_impl(Kb, Bb, free_p, x)
+
+    def M_fn(m_args, x):
+        Kb, margs_v, mp, Z, Cinv = m_args
+        return M_impl(Kb, margs_v, mp, Z, Cinv, x)
+
+    body_maker = minres_body(A_fn, M_fn)
+
+    def chunk_impl(a_args, m_args, state, tol):
+        body = body_maker(a_args, m_args, tol)
+        stf = jax.lax.fori_loop(0, n_iters, body, state)
+        return stf, jnp.abs(stf[6])
+
+    a_spec = (blk_spec, rect_spec, P())
+    m_spec = (blk_spec, m_spec_v, P(),
+              P() if with_Z else None, P() if with_Z else None)
+    sc = P()
+    state_spec = (x_spec, x_spec, x_spec, x_spec, sc, sc, sc,
+                  sc, sc, sc, sc, x_spec, x_spec, sc)
+    smap = dict(mesh=sst.mesh_dev,
+                in_specs=(a_spec, m_spec, state_spec, sc),
+                out_specs=(state_spec, sc))
+    try:
+        fn = shard_map(chunk_impl, check_vma=False, **smap)
+    except TypeError:
+        fn = shard_map(chunk_impl, check_rep=False, **smap)
+
+    def apply_impl(a_args, m_args, x):
+        Kb, Bb, free_p = a_args
+        Sx = S_impl(Kb, Bb, free_p, x)
+        Mx = M_fn(m_args, x)
+        return Sx, Mx
+
+    smap_a = dict(mesh=sst.mesh_dev,
+                  in_specs=(a_spec, m_spec, x_spec),
+                  out_specs=(x_spec, x_spec))
+    try:
+        ap = shard_map(apply_impl, check_vma=False, **smap_a)
+    except TypeError:
+        ap = shard_map(apply_impl, check_rep=False, **smap_a)
+    return jax.jit(fn), jax.jit(ap)
+
+
+def sharded_stokes_solve(sst: ShardedStokes, rtol=1e-9, maxiter=2000,
+                         chunk_iters=80):
+    """MINRES over the device mesh; returns (u, p, info) in
+    FunctionSpace numbering, matching stokes_solve_mg's f64 path
+    (vs-single equivalence pinned by tests/test_parallel.py)."""
+    from ..fem.space import Function
+    st = sst.st
+    free_p = st.free_p
+    margs64, mp64 = st.M64[1][0], st.M64[1][1]
+    if len(st.M64[1]) == 4:
+        Z64, Cinv64 = st.M64[1][2], st.M64[1][3]
+    else:
+        Z64 = Cinv64 = None
+
+    key = (id(sst), chunk_iters)
+    hit = _STOKES_SHARD_CACHE.get(key)
+    if hit is not None and hit[0] is sst:
+        chunk, ap = hit[1]
+    else:
+        chunk, ap = _stokes_chunk_sharded(sst, chunk_iters,
+                                          Z64 is not None)
+        _STOKES_SHARD_CACHE[key] = (sst, (chunk, ap))
+
+    a_args = (sst.K, sst.Bdiv, free_p)
+    m_args = (sst.K, sst.m_args_v, mp64, Z64, Cinv64)
+
+    b = st.b
+    x0 = jax.tree.map(jnp.zeros_like, b)
+    Sx0, _ = ap(a_args, m_args, x0)
+    v = jax.tree.map(lambda bi, si: bi - si, b, Sx0)
+    _, Mv = ap(a_args, m_args, v)
+    gam0 = float(jnp.sqrt(jnp.maximum(
+        sum(jnp.sum(zi * vi) for zi, vi in zip(Mv, v)), 0.0)))
+    zero = jnp.asarray(0.0, dtype=jnp.float64)
+    one = jnp.asarray(1.0, dtype=jnp.float64)
+    gam = jnp.asarray(gam0, dtype=jnp.float64)
+    zv = jax.tree.map(jnp.zeros_like, b)
+    state = (x0, zv, v, Mv, one, gam, gam,
+             zero, zero, one, one, zv, zv, zero)
+    tol = jnp.asarray(rtol * max(gam0, 1e-300), dtype=jnp.float64)
+
+    dispatched = 0
+    rn = gam0
+    while dispatched < maxiter and rn > float(tol):
+        state, rn_dev = chunk(a_args, m_args, state, tol)
+        dispatched += chunk_iters
+        rn = float(rn_dev)
+    x = state[0]
+    iters = int(state[-1])
+
+    Sx, _ = ap(a_args, m_args, x)
+    true_rn = float(jnp.sqrt(sum(
+        jnp.sum((bi - si) ** 2) for bi, si in zip(b, Sx))))
+    bnorm = float(jnp.sqrt(sum(jnp.sum(bi * bi) for bi in b)))
+
+    U0, p_pad = x
+    U = np.asarray(st.G + U0)
+    if st.iperm_v is not None:
+        U = U[np.asarray(st.iperm_v)[:st.ns_true]]
+    u = Function(st.V, jnp.asarray(
+        np.asarray(U[:st.ns_true]).reshape(-1)))
+    p = Function(st.Q, jnp.asarray(np.asarray(p_pad[:st.np_true])))
+    info = {"outer_iters": iters, "inner_iters": 0,
+            "resnorm": true_rn,
+            "rel_resnorm": true_rn / max(bnorm, 1e-300),
+            "converged": bool(rn <= float(tol)),
+            "method": "minres+mg+sharded"}
+    u.solver_info = info
+    p.solver_info = info
+    return u, p, info

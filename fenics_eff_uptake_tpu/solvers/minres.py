@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["minres_tree", "MinresResult"]
+__all__ = ["minres_tree", "minres_body", "MinresResult"]
 
 
 class MinresResult(NamedTuple):
@@ -67,11 +67,13 @@ def _as_op(op_):
 _CHUNK_CACHE = {}
 
 
-def _minres_chunk(A_fn, M_fn, n_iters):
-    """ESW Algorithm 6.1 (preconditioned MINRES), n_iters steps."""
+def minres_body(A_fn, M_fn):
+    """One ESW Algorithm 6.1 (preconditioned MINRES) step as a
+    fori_loop body over the 14-tuple state.  Shared by the single-chip
+    chunk below and the shard_map'ed chunk in parallel/sharded_solve.py
+    (where A_fn/M_fn are per-shard applies with psum("cells") inside)."""
 
-    @jax.jit
-    def chunk(a_args, m_args, state, tol):
+    def make(a_args, m_args, tol):
         def body(_, st):
             (x, v_old, v, z, gam_old, gam, eta,
              s_old, s, c_old, c, w_old, w, it) = st
@@ -119,6 +121,18 @@ def _minres_chunk(A_fn, M_fn, n_iters):
                     sel(w, w_old), sel(w_new, w),
                     jnp.where(active, it + 1, it))  # true iteration count
 
+        return body
+
+    return make
+
+
+def _minres_chunk(A_fn, M_fn, n_iters):
+    """Jitted n_iters-step MINRES chunk (single-chip path)."""
+    body_maker = minres_body(A_fn, M_fn)
+
+    @jax.jit
+    def chunk(a_args, m_args, state, tol):
+        body = body_maker(a_args, m_args, tol)
         st = jax.lax.fori_loop(0, n_iters, body, state)
         return st, jnp.abs(st[6])
 

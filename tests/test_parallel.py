@@ -138,3 +138,38 @@ def test_sharded_bicgstab_advective_matches_vmapped():
     X_ref, _ = solve_sweep(sys_t, D, mu_values=mus, rtol=1e-12,
                            precision="f64", chunk_iters=40, maxiter=4000)
     assert np.abs(np.asarray(X_sh) - np.asarray(X_ref)).max() < 1e-8
+
+
+def test_sharded_stokes_matches_single_chip():
+    """Saddle MINRES under shard_map == stokes_solve_mg (f64).
+
+    Exercises the sharded Stokes path (parallel/sharded_solve.py
+    build_sharded_stokes / sharded_stokes_solve): velocity stiffness +
+    divergence coupling element-partitioned over "cells" with one fused
+    psum per saddle apply, replicated V-cycle mid/coarse levels and
+    Schur deflation.  TPU analogue of the reference's latent MPI Stokes
+    capability (ref solvers.py:291-298).
+    """
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.models.stokes_flow import stokes_solve_mg
+    from fenics_eff_uptake_tpu.parallel.sharded_solve import (
+        build_sharded_stokes, sharded_stokes_solve)
+    from fenics_eff_uptake_tpu.parallel.sharding import make_device_mesh
+
+    mesh = generate_mesh(width=5.0, height=1.0, sulcus_depth=0.25,
+                         sulcus_width=0.25, mesh_size=0.15,
+                         refinement_factor=1, domain_type="sulcus")
+    dev_mesh = make_device_mesh(8, tp=4)   # 2-way sweep x 4-way cells
+    sst = build_sharded_stokes(mesh, H=1.0, device_mesh=dev_mesh)
+    u_sh, p_sh, info = sharded_stokes_solve(sst, rtol=1e-10,
+                                            chunk_iters=40)
+    assert info["converged"], info
+    assert info["rel_resnorm"] < 1e-8
+
+    u0, p0 = stokes_solve_mg(mesh, H=1.0, precision="f64", rtol=1e-10)
+    du = np.abs(np.asarray(u_sh.values) - np.asarray(u0.values)).max()
+    dp = np.abs(np.asarray(p_sh.values) - np.asarray(p0.values)).max()
+    un = np.abs(np.asarray(u0.values)).max()
+    pn = np.abs(np.asarray(p0.values)).max()
+    assert du / un < 1e-7, du / un
+    assert dp / pn < 1e-7, dp / pn

@@ -25,7 +25,10 @@ def _coarse_params(mode, **kw):
 
 def test_stokes_poiseuille_exact():
     md = structured_rectangle(2.0, 1.0, 10, 5)
-    u, p = stokes_solve(md, H=1.0)
+    # exactness of the DISCRETISATION is what's under test, so ask the
+    # solver for more than its study-default 1e-9 (which leaves ~5e-8
+    # in the pressure -- fine for studies, above this test's floor)
+    u, p = stokes_solve(md, H=1.0, outer_rtol=1e-12)
     assert u.solver_info["converged"]
     coords = u.space.dof_coords
     ux = u.as_numpy()[0::2]
