@@ -104,6 +104,27 @@ def _cg_chunk(A_fn, M_fn, n_iters):
     return chunk
 
 
+def _chunk_schedule(chunk_iters):
+    """Escalating dispatch sizes up to chunk_iters: 50, 100, 200, ...
+
+    A chunk executes ALL its iterations (converged columns are masked,
+    not skipped), so opening a well-preconditioned solve (~25-40 MG-CG
+    iterations) with one worst-case 400/800-iteration chunk burns up to
+    ~25x the useful FLOPs -- the dominant cost of f64/CPU solves.  The
+    doubling ladder bounds overshoot at <2x optimal while hard solves
+    still escalate to full-size dispatches; sizes stay in the fixed
+    quantized set {50, 100, 200, 400, 800, chunk_iters} so compiled
+    chunk kernels are shared across meshes/batches.  An explicit
+    chunk_iters <= 50 keeps today's fixed-size behaviour.
+    """
+    out, n = [], 50
+    while n < chunk_iters:
+        out.append(n)
+        n *= 2
+    out.append(int(chunk_iters))
+    return out
+
+
 def batched_cg(A, B_rhs, M=None,
                X0=None, rtol=1e-12, atol=0.0, maxiter=20000,
                chunk_iters=400) -> BatchedResult:
@@ -124,10 +145,11 @@ def batched_cg(A, B_rhs, M=None,
     P = Z
     rz = jnp.sum(R * Z, axis=0)
     X = X0
-    chunk = _cached_chunk(_cg_chunk, A_fn, M_fn, chunk_iters)
+    schedule = _chunk_schedule(chunk_iters)
 
     B = B_rhs.shape[1]
     iters = 0
+    n_disp = 0
     rn = np.asarray(_colnorm(R))
     tol_np = np.asarray(tol)
     # per-column iteration counts (chunk granularity: a column's count is
@@ -135,9 +157,12 @@ def batched_cg(A, B_rhs, M=None,
     col_iters = np.zeros(B, dtype=np.int64)
     while iters < maxiter and (rn > tol_np).any():
         active = rn > tol_np
+        size = schedule[min(n_disp, len(schedule) - 1)]
+        chunk = _cached_chunk(_cg_chunk, A_fn, M_fn, size)
         X, R, Z, P, rz, rn_dev = chunk(a_args, m_args, X, R, Z, P, rz,
                                        tol)
-        iters += chunk_iters
+        iters += size
+        n_disp += 1
         rn = np.asarray(rn_dev)
         col_iters[active] = iters
     return BatchedResult(X=X, iters=col_iters,
@@ -202,17 +227,21 @@ def batched_bicgstab(A, B_rhs, M=None,
     zerosV = jnp.zeros_like(B_rhs)
     X, P, V = X0, zerosV, zerosV
     rho = alpha = omega = ones
-    chunk = _cached_chunk(_bicgstab_chunk, A_fn, M_fn, chunk_iters)
+    schedule = _chunk_schedule(chunk_iters)
 
     iters = 0
+    n_disp = 0
     rn = np.asarray(_colnorm(R))
     tol_np = np.asarray(tol)
     col_iters = np.zeros(B, dtype=np.int64)
     while iters < maxiter and (rn > tol_np).any():
         active = rn > tol_np
+        size = schedule[min(n_disp, len(schedule) - 1)]
+        chunk = _cached_chunk(_bicgstab_chunk, A_fn, M_fn, size)
         X, R, P, V, rho, alpha, omega, rn_dev = chunk(
             a_args, m_args, X, R, Rhat, P, V, rho, alpha, omega, tol)
-        iters += chunk_iters
+        iters += size
+        n_disp += 1
         rn = np.asarray(rn_dev)
         col_iters[active] = iters
     return BatchedResult(X=X, iters=col_iters,
