@@ -81,23 +81,31 @@ def _split_block(block, tp: int, ndofs: int, dummy_dof: int):
         ids_sorted=jnp.asarray(np.stack(Is), dtype=jnp.int32))
 
 
-def _local_apply(ba, ndofs, X, coef=None):
+def _local_apply(ba, ndofs, X, coef=None, A_batch=None):
     """One shard's entity chunk applied into the full dof vector.
 
     ba arrays arrive WITHOUT the shard axis (shard_map strips it).
+    ``A_batch`` (1, N_loc, B, nd, nd) supplies per-sample entity
+    matrices (step-mu Robin batches) instead of ``ba.A`` x ``coef``;
+    its B axis is sharded over "sweep" like the Krylov state.
     """
-    A = ba.A[0]
     dofs = ba.dofs[0]
     perm = ba.perm[0]
     ids = ba.ids_sorted[0]
     Xe = X[dofs]                                   # (N_loc, nd, B)
-    Ac = A.astype(X.dtype)
     nd = Xe.shape[1]
-    Ye = jnp.stack(
-        [sum(Ac[:, i, j, None] * Xe[:, j, :] for j in range(nd))
-         for i in range(nd)], axis=1)
-    if coef is not None:
-        Ye = Ye * coef.astype(X.dtype)[None, None, :]
+    if A_batch is not None:
+        Ac = A_batch[0].astype(X.dtype)            # (N_loc, B, nd, nd)
+        Ye = jnp.stack(
+            [sum(Ac[:, :, i, j] * Xe[:, j, :] for j in range(nd))
+             for i in range(nd)], axis=1)          # (N_loc, nd, B)
+    else:
+        Ac = ba.A[0].astype(X.dtype)
+        Ye = jnp.stack(
+            [sum(Ac[:, i, j, None] * Xe[:, j, :] for j in range(nd))
+             for i in range(nd)], axis=1)
+        if coef is not None:
+            Ye = Ye * coef.astype(X.dtype)[None, None, :]
     N, _, B = Ye.shape
     return jax.ops.segment_sum(
         Ye.reshape(N * nd, B)[perm], ids,
@@ -112,10 +120,37 @@ class ShardedSystem(NamedTuple):
     R: Optional[_ShardBlockArgs]
     ml: "object"                  # MultilevelData or None
     ml_K: Optional[_ShardBlockArgs]   # fine-level smoother operator
+    # per-sample Robin entity matrices (step-mu(x) sweeps): cells-chunked
+    # like R, with the sweep axis whole -> (tp, N_loc, B, nd, nd), plus
+    # the unsplit (B, N, nd, nd) host view for the eager RHS/diag program
+    Rb: Optional[jnp.ndarray] = None
+    Rb_full: Optional[jnp.ndarray] = None
 
 
-def build_sharded_system(sys, device_mesh: Mesh, multilevel=None):
-    """Partition a TransportSystem (and optional MG data) over the mesh."""
+def _split_batch_matrices(R_batch, tp: int):
+    """Chunk per-sample entity matrices (B, N, nd, nd) along the entity
+    axis with the SAME padding/order as _split_block -> the chunks stay
+    aligned with ``R``'s per-shard scatter plans."""
+    Rb = np.asarray(R_batch)
+    B, N, nd, _ = Rb.shape
+    N_loc = (N + tp - 1) // tp
+    N_pad = N_loc * tp
+    if N_pad > N:
+        Rb = np.concatenate(
+            [Rb, np.zeros((B, N_pad - N, nd, nd), Rb.dtype)], axis=1)
+    # (B, tp*N_loc, nd, nd) -> (tp, N_loc, B, nd, nd)
+    Rb = Rb.reshape(B, tp, N_loc, nd, nd)
+    return jnp.asarray(np.moveaxis(Rb, 0, 2).copy())
+
+
+def build_sharded_system(sys, device_mesh: Mesh, multilevel=None,
+                         robin_batch=None):
+    """Partition a TransportSystem (and optional MG data) over the mesh.
+
+    ``robin_batch`` (B, N_facets, nd, nd) supplies per-sample Robin
+    entity matrices (the step-mu(x) surrogates, ref
+    adv_diff_analysis.py:144-178); it replaces the scalar ``mu_vec x R``
+    term exactly as ``solve_sweep(..., robin_matrices=...)`` does."""
     tp = device_mesh.shape["cells"]
     dummy = sys.ndofs - 1   # scatter target for padding (masked anyway
     # by the bucketing dummy dof when pad_shapes was on; otherwise the
@@ -125,9 +160,18 @@ def build_sharded_system(sys, device_mesh: Mesh, multilevel=None):
            if sys.Adv is not None else None)
     R = (_split_block(sys.R, tp, sys.ndofs, dummy)
          if sys.R is not None else None)
+    Rb = None
+    Rb_full = None
+    if robin_batch is not None:
+        if sys.R is None:
+            raise ValueError("robin_batch requires sys.R (the unit-mu "
+                             "Robin block) for its scatter plan")
+        Rb = _split_batch_matrices(robin_batch, tp)
+        Rb_full = jnp.asarray(np.asarray(robin_batch))
     return ShardedSystem(sys=sys, mesh_dev=device_mesh, K=K, Adv=Adv,
                          R=R, ml=multilevel,
-                         ml_K=K if multilevel is not None else None)
+                         ml_K=K if multilevel is not None else None,
+                         Rb=Rb, Rb_full=Rb_full)
 
 
 def _sharded_ops(ss: ShardedSystem, f32: bool):
@@ -146,17 +190,20 @@ def _sharded_ops(ss: ShardedSystem, f32: bool):
     col = P(None, "sweep")     # (n, B) arrays
     vec = P("sweep")           # (B,) arrays
 
-    def A_apply(Kb, Advb, Rb, D_vec, mu_vec, X):
+    def A_apply(Kb, Advb, Rb, Rbb, D_vec, mu_vec, X):
         Y = _local_apply(Kb, ndofs, X, coef=D_vec)
         if Advb is not None:
             Y = Y + _local_apply(Advb, ndofs, X)
         if Rb is not None:
-            Y = Y + _local_apply(Rb, ndofs, X, coef=mu_vec)
+            if Rbb is not None:    # per-sample step-mu Robin matrices
+                Y = Y + _local_apply(Rb, ndofs, X, A_batch=Rbb)
+            else:
+                Y = Y + _local_apply(Rb, ndofs, X, coef=mu_vec)
         Y = jax.lax.psum(Y, "cells")
         return Y
 
-    def A_bc(Kb, Advb, Rb, D_vec, mu_vec, X):
-        Y = A_apply(Kb, Advb, Rb, D_vec, mu_vec,
+    def A_bc(Kb, Advb, Rb, Rbb, D_vec, mu_vec, X):
+        Y = A_apply(Kb, Advb, Rb, Rbb, D_vec, mu_vec,
                     jnp.where(free[:, None], X, 0.0))
         return jnp.where(free[:, None], Y, X)
 
@@ -169,13 +216,13 @@ def _sharded_ops(ss: ShardedSystem, f32: bool):
         # replicated banded operator would cost full-system HBM/device
         m_args_global = ml_preconditioner_args(ml, f32=f32, band=False)
 
-        def M_apply(Kb, Advb, Rb, m_args, R):
+        def M_apply(Kb, Advb, Rb, Rbb, m_args, R):
             levels, free_c, Ainv, D_vec, mu_vec, omega = m_args
             la = levels[0]
             Rw = R.astype(dt)
             # fine pre-smooth
             x = omega * la.dinv * Rw
-            Ax = A_bc(Kb, Advb, Rb, D_vec, mu_vec, x)
+            Ax = A_bc(Kb, Advb, Rb, Rbb, D_vec, mu_vec, x)
             res = Rw - Ax
             # restrict, then run the REPLICATED sub-cycle on mid levels
             n, _, B = (la.t_w[:, :, None] * res[:, None, :]).shape
@@ -197,7 +244,7 @@ def _sharded_ops(ss: ShardedSystem, f32: bool):
                 xc = jnp.moveaxis(xc_b[..., 0], 0, 1)
             x = x + jnp.einsum("nk,nkb->nb", la.t_w, xc[la.t_cols],
                                preferred_element_type=xc.dtype)
-            Ax = A_bc(Kb, Advb, Rb, D_vec, mu_vec, x)
+            Ax = A_bc(Kb, Advb, Rb, Rbb, D_vec, mu_vec, x)
             x = x + omega * la.dinv * (Rw - Ax)
             return x.astype(R.dtype)
 
@@ -212,8 +259,12 @@ def _sharded_ops(ss: ShardedSystem, f32: bool):
                 if la.Adv is not None:
                     Y = Y + _args_block_apply(la.Adv, nd_l, X)
                 if la.R is not None:
-                    Y = Y + _args_block_apply(
-                        la.R, nd_l, X, coef=mu_vec.astype(X.dtype))
+                    if la.R_batch is not None:   # per-sample step-mu
+                        Y = Y + _args_block_apply(la.R, nd_l, X,
+                                                  A_batch=la.R_batch)
+                    else:
+                        Y = Y + _args_block_apply(
+                            la.R, nd_l, X, coef=mu_vec.astype(X.dtype))
                 return jnp.where(la.free[:, None], Y, X)
 
             x = omega * la.dinv * r
@@ -269,10 +320,10 @@ def _sharded_ops(ss: ShardedSystem, f32: bool):
         m_args_global = None
         m_spec = None
 
-    def make_Mfn(Kb, Advb, Rb, m_args, dinv):
+    def make_Mfn(Kb, Advb, Rb, Rbb, m_args, dinv):
         def Mfn(R):
             if ml is not None:
-                return M_apply(Kb, Advb, Rb, m_args, R)
+                return M_apply(Kb, Advb, Rb, Rbb, m_args, R)
             return dinv * R
         return Mfn
 
@@ -289,14 +340,14 @@ def _cg_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
                                   ops["vec"], ops["m_spec"])
     m_args_global = ops["m_args_global"]
 
-    def chunk_impl(Kb, Advb, Rb, D_vec, mu_vec, m_args, dinv,
+    def chunk_impl(Kb, Advb, Rb, Rbb, D_vec, mu_vec, m_args, dinv,
                    X, Rr, Z, Pp, rz, tol):
-        Mfn = make_Mfn(Kb, Advb, Rb, m_args, dinv)
+        Mfn = make_Mfn(Kb, Advb, Rb, Rbb, m_args, dinv)
 
         def body(_, state):
             X, Rr, Z, Pp, rz = state
             active = jnp.sqrt(jnp.sum(Rr * Rr, axis=0)) > tol
-            AP = A_bc(Kb, Advb, Rb, D_vec, mu_vec, Pp)
+            AP = A_bc(Kb, Advb, Rb, Rbb, D_vec, mu_vec, Pp)
             pAp = jnp.sum(Pp * AP, axis=0)
             alpha = jnp.where(active & (pAp != 0),
                               rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
@@ -316,6 +367,7 @@ def _cg_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
     in_specs = (blk_spec,
                 None if ss.Adv is None else blk_spec,
                 None if ss.R is None else blk_spec,
+                None if ss.Rb is None else P("cells", None, "sweep"),
                 vec, vec, m_spec, col,
                 col, col, col, col, vec, vec)
     out_specs = (col, col, col, col, vec, vec)
@@ -342,9 +394,9 @@ def _bicgstab_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
                                   ops["vec"], ops["m_spec"])
     m_args_global = ops["m_args_global"]
 
-    def chunk_impl(Kb, Advb, Rb, D_vec, mu_vec, m_args, dinv,
+    def chunk_impl(Kb, Advb, Rb, Rbb, D_vec, mu_vec, m_args, dinv,
                    X, Rr, Rhat, Pp, V, rho, alpha, omega, tol):
-        Mfn = make_Mfn(Kb, Advb, Rb, m_args, dinv)
+        Mfn = make_Mfn(Kb, Advb, Rb, Rbb, m_args, dinv)
 
         def body(_, st):
             X, Rr, Pp, V, rho, alpha, omega = st
@@ -358,14 +410,14 @@ def _bicgstab_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
                 active[None, :],
                 Rr + beta[None, :] * (Pp - omega[None, :] * V), Pp)
             Phat = Mfn(Pp)
-            V = A_bc(Kb, Advb, Rb, D_vec, mu_vec, Phat)
+            V = A_bc(Kb, Advb, Rb, Rbb, D_vec, mu_vec, Phat)
             denom = jnp.sum(Rhat * V, axis=0)
             alpha = jnp.where(active & (denom != 0),
                               rho_new / jnp.where(denom != 0, denom,
                                                   1.0), 0.0)
             S = Rr - alpha[None, :] * V
             Shat = Mfn(S)
-            T = A_bc(Kb, Advb, Rb, D_vec, mu_vec, Shat)
+            T = A_bc(Kb, Advb, Rb, Rbb, D_vec, mu_vec, Shat)
             tt = jnp.sum(T * T, axis=0)
             omega = jnp.where(active & (tt != 0),
                               jnp.sum(T * S, axis=0)
@@ -382,6 +434,7 @@ def _bicgstab_chunk_sharded(ss: ShardedSystem, n_iters: int, f32: bool):
     in_specs = (blk_spec,
                 None if ss.Adv is None else blk_spec,
                 None if ss.R is None else blk_spec,
+                None if ss.Rb is None else P("cells", None, "sweep"),
                 vec, vec, m_spec, col,
                 col, col, col, col, col, vec, vec, vec, vec)
     out_specs = (col, col, col, col, vec, vec, vec, vec)
@@ -417,7 +470,7 @@ def sharded_solve_sweep(ss: ShardedSystem, D_values, mu_values,
         raise ValueError(f"sweep batch {B} must divide over dp={dp}")
 
     nonsym = sys.Adv is not None
-    key = (id(ss), chunk_iters, f32, nonsym)
+    key = (id(ss), chunk_iters, f32, nonsym, ss.Rb is not None)
     hit = _SHARD_CHUNK_CACHE.get(key)
     if hit is not None and hit[0] is ss:
         chunk, m_args = hit[1]
@@ -436,10 +489,10 @@ def sharded_solve_sweep(ss: ShardedSystem, D_values, mu_values,
     A_fn, rhs_fn, residual_fn, diag_fn = _operator_program(
         sys_struct_key(sys))
     a = operator_args(sys, D_vec.astype(jnp.float64),
-                      mu_vec.astype(jnp.float64), None, f32=f32)
+                      mu_vec.astype(jnp.float64), ss.Rb_full, f32=f32)
     RHS = rhs_fn(a, G.astype(dt))
     dinv = diag_fn(operator_args(sys, D_vec.astype(jnp.float64),
-                                 mu_vec.astype(jnp.float64), None,
+                                 mu_vec.astype(jnp.float64), ss.Rb_full,
                                  f32=False)).astype(dt)
 
     X = G
@@ -460,7 +513,7 @@ def sharded_solve_sweep(ss: ShardedSystem, D_values, mu_values,
         while iters < maxiter and (rn > tol_np).any():
             active = rn > tol_np
             (X, Rr, Pp, V, rho, alpha, omega, rn_dev) = chunk(
-                ss.K, ss.Adv, ss.R, D_vec, mu_vec, m_args, dinv,
+                ss.K, ss.Adv, ss.R, ss.Rb, D_vec, mu_vec, m_args, dinv,
                 X, Rr, Rhat, Pp, V, rho, alpha, omega, tol)
             iters += chunk_iters
             rn = np.asarray(rn_dev)
@@ -477,7 +530,7 @@ def sharded_solve_sweep(ss: ShardedSystem, D_values, mu_values,
         while iters < maxiter and (rn > tol_np).any():
             active = rn > tol_np
             X, Rr, Z, Pp, rz, rn_dev = chunk(
-                ss.K, ss.Adv, ss.R, D_vec, mu_vec, m_args, dinv,
+                ss.K, ss.Adv, ss.R, ss.Rb, D_vec, mu_vec, m_args, dinv,
                 X, Rr, Z, Pp, rz, tol)
             iters += chunk_iters
             rn = np.asarray(rn_dev)
@@ -654,7 +707,7 @@ def _stokes_shard_ops(sst: ShardedStokes):
     def M_impl(Kb, m_args_v, mp, Z, Cinv, x):
         """diag(MG(A) over cells, lumped Mp + Z Cinv Z^T replicated)."""
         U, p = x
-        Mfn_v = make_Mfn(Kb, None, None, m_args_v, None)
+        Mfn_v = make_Mfn(Kb, None, None, None, m_args_v, None)
         Mu = Mfn_v(U)
         dt = p.dtype
         Mp_p = mp.astype(dt) * p

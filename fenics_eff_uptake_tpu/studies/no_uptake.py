@@ -321,6 +321,7 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
             mesh = get_mesh(p0, "sulcus")
             t1 = time.time()
             u, p = stokes_solve(mesh, H=p0.H)
+            t_stokes = time.time()
             sys = build_transport_system(mesh, u_values=u.values,
                                          u_space=u.space)
             D_batch = [1.0 / pe for pe in peclet_numbers]
@@ -328,9 +329,11 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
             ml = build_multilevel_for(sys, mesh, D_batch,
                                       mu_values=[0.0] * len(D_batch),
                                       u_fine=u)
+            t_setup = time.time()
             X, info = solve_sweep(sys, D_batch,
                                   mu_values=[0.0] * len(D_batch),
                                   precision=precision, multilevel=ml)
+            t_solve = time.time()
             # ONE batched metrics dispatch for all Pe columns
             # (analysis/batched_metrics.py; equivalence-tested vs the
             # per-run engine -- see tests/test_analysis.py)
@@ -356,6 +359,12 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
             if verbose:
                 print(f"  {gkey}: {len(peclet_numbers)} Pe points in "
                       f"{time.time()-t1:.1f}s")
+            if verbose and os.environ.get("FEU_STUDY_TIMERS"):
+                print(f"    [timers] stokes={t_stokes - t1:.2f}s "
+                      f"setup={t_setup - t_stokes:.2f}s "
+                      f"solve={t_solve - t_setup:.2f}s "
+                      f"(iters={info['iters'].tolist()}) "
+                      f"metrics+rows={time.time() - t_solve:.2f}s")
         except Exception as e:
             print(f"  {gkey} failed: {e}")
 

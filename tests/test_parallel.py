@@ -173,3 +173,110 @@ def test_sharded_stokes_matches_single_chip():
     pn = np.abs(np.asarray(p0.values)).max()
     assert du / un < 1e-7, du / un
     assert dp / pn < 1e-7, dp / pn
+
+
+def test_sharded_step_mu_robin_matches_vmapped():
+    """Per-sample step-mu(x) Robin batches under shard_map == solve_sweep.
+
+    Exercises the sharded per-sample Robin path (parallel/
+    sharded_solve.py build_sharded_system(robin_batch=...) +
+    _local_apply A_batch): the rectangular step-mu surrogates of the
+    flagship adv-diff validation (ref adv_diff_analysis.py:144-178)
+    with Poiseuille advection -> the sharded BiCGStab chunk with
+    cells-partitioned per-sample Robin entity matrices.
+    """
+    import jax.numpy as jnp
+    from fenics_eff_uptake_tpu.fem.space import FunctionSpace
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.params import StepUptakeOpen
+    from fenics_eff_uptake_tpu.parallel.sharded_solve import (
+        build_sharded_system, sharded_solve_sweep)
+    from fenics_eff_uptake_tpu.parallel.sweep import (
+        build_transport_system, robin_matrices_for_mu, solve_sweep)
+
+    m = generate_mesh(width=5.0, height=1.0, sulcus_depth=0.0,
+                      sulcus_width=0.0, mesh_size=0.15,
+                      refinement_factor=1, domain_type="rectangular")
+    V = FunctionSpace(m, "P2", vs=2)
+    xy = V.dof_coords
+    u = np.zeros(V.ndofs)
+    u[0::2] = 4.0 * xy[:, 1] * (1.0 - xy[:, 1])
+    sys_t = build_transport_system(m, element="P2", pad_shapes=False,
+                                   u_values=jnp.asarray(u), u_space=V)
+    assert sys_t.Adv is not None and sys_t.R is not None
+
+    steps = [StepUptakeOpen(mu_base=mb, mu_eff_target=mt,
+                            sulcus_left_x=2.25, sulcus_right_x=2.75,
+                            L_c=0.05, Gamma=5.0)
+             for (mb, mt) in [(0.1, 1.7), (1.0, 0.6), (10.0, 3.0),
+                              (0.5, 0.5)]]
+    R_batch = np.stack([np.asarray(robin_matrices_for_mu(sys_t, s))
+                        for s in steps])
+    D = np.array([10.0, 1.0, 0.1, 1.0])
+
+    dev_mesh = make_device_mesh(8, tp=2)   # 4-way sweep x 2-way cells
+    ss = build_sharded_system(sys_t, dev_mesh, robin_batch=R_batch)
+    X_sh, info = sharded_solve_sweep(ss, D, np.zeros_like(D), rtol=1e-11,
+                                     chunk_iters=40, maxiter=4000)
+    assert (info["rel_resnorm"] < 1e-10).all()
+
+    X_ref, _ = solve_sweep(sys_t, D, robin_matrices=jnp.asarray(R_batch),
+                           rtol=1e-12, precision="f64", chunk_iters=40,
+                           maxiter=4000)
+    scale = np.abs(np.asarray(X_ref)).max()
+    assert np.abs(np.asarray(X_sh) - np.asarray(X_ref)).max() / scale \
+        < 1e-8
+
+
+def test_sharded_step_mu_robin_with_mg_matches_vmapped():
+    """Same as above but through the MG-preconditioned sharded chunk:
+    fine-level per-sample Robin rides the cells-sharded apply (Rbb) and
+    the replicated mid-level sub-cycle consumes la.R_batch."""
+    import jax.numpy as jnp
+    from fenics_eff_uptake_tpu.fem.space import FunctionSpace
+    from fenics_eff_uptake_tpu.meshing.generator import generate_mesh
+    from fenics_eff_uptake_tpu.params import StepUptakeOpen
+    from fenics_eff_uptake_tpu.parallel.sharded_solve import (
+        build_sharded_system, sharded_solve_sweep)
+    from fenics_eff_uptake_tpu.parallel.sweep import (
+        build_transport_system, robin_matrices_for_mu, solve_sweep)
+    from fenics_eff_uptake_tpu.solvers.multilevel import \
+        build_multilevel_for
+
+    kw = dict(width=5.0, height=1.0, sulcus_depth=0.0, sulcus_width=0.0,
+              refinement_factor=1, domain_type="rectangular")
+    m = generate_mesh(mesh_size=0.15, **kw)
+    V = FunctionSpace(m, "P2", vs=2)
+    xy = V.dof_coords
+    uv = np.zeros(V.ndofs)
+    uv[0::2] = 4.0 * xy[:, 1] * (1.0 - xy[:, 1])
+    from fenics_eff_uptake_tpu.fem.space import Function
+    u = Function(V, jnp.asarray(uv))
+    sys_t = build_transport_system(m, element="P2", pad_shapes=False,
+                                   u_values=u.values, u_space=V)
+
+    steps = [StepUptakeOpen(mu_base=mb, mu_eff_target=mt,
+                            sulcus_left_x=2.25, sulcus_right_x=2.75,
+                            L_c=0.05, Gamma=5.0)
+             for (mb, mt) in [(0.1, 1.7), (1.0, 0.6), (10.0, 3.0),
+                              (0.5, 0.5)]]
+    R_batch = np.stack([np.asarray(robin_matrices_for_mu(sys_t, s))
+                        for s in steps])
+    D = np.array([10.0, 1.0, 0.1, 1.0])
+
+    ml = build_multilevel_for(sys_t, m, D, mu_callables=steps,
+                              robin_matrices_fine=jnp.asarray(R_batch),
+                              u_fine=u)
+    dev_mesh = make_device_mesh(8, tp=2)
+    ss = build_sharded_system(sys_t, dev_mesh, multilevel=ml,
+                              robin_batch=R_batch)
+    X_sh, info = sharded_solve_sweep(ss, D, np.zeros_like(D), rtol=1e-11,
+                                     chunk_iters=20, maxiter=4000)
+    assert (info["rel_resnorm"] < 1e-10).all()
+
+    X_ref, _ = solve_sweep(sys_t, D, robin_matrices=jnp.asarray(R_batch),
+                           rtol=1e-12, precision="f64", chunk_iters=40,
+                           maxiter=4000)
+    scale = np.abs(np.asarray(X_ref)).max()
+    assert np.abs(np.asarray(X_sh) - np.asarray(X_ref)).max() / scale \
+        < 1e-8
