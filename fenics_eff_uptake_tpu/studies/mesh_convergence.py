@@ -176,6 +176,12 @@ def run_mesh_convergence(mu_factors=(0.1, 1.0, 10.0), ladder=None,
 
 
 def main(argv=None):
+    # bare-module entry: same f64 + persistent-compile-cache
+    # config as the package menu (committed study artifacts
+    # are x64; a silent f32 run would look converged but
+    # carry ~1e-5 floors)
+    from ..utils.jaxconfig import setup
+    setup(x64=True)
     import argparse
     ap = argparse.ArgumentParser(description="Mesh convergence ladder")
     ap.add_argument("--coarse", action="store_true",

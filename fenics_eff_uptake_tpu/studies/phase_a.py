@@ -304,6 +304,12 @@ def replot_from_csv(base_dir=BASE_DIR):
 
 
 def main(argv=None):
+    # bare-module entry: same f64 + persistent-compile-cache
+    # config as the package menu (committed study artifacts
+    # are x64; a silent f32 run would look converged but
+    # carry ~1e-5 floors)
+    from ..utils.jaxconfig import setup
+    setup(x64=True)
     import argparse
     ap = argparse.ArgumentParser(
         description="Phase-A no-advection studies (non-interactive CLI "
