@@ -31,7 +31,9 @@ from ..params import Parameters, StepUptakeOpen
 from ..parallel.sweep import (build_transport_system, robin_matrices_for_mu,
                               solve_sweep)
 from ..simulation import get_coarse_mesh, get_mesh
-from .common import save_csv, save_metadata, shard_spec
+from .common import (save_csv, save_metadata, shard_spec,
+                     sharded_stokes_or_single as _stokes_for_study,
+                     transport_batch as _transport_batch)
 
 __all__ = ["run_advdiff_step_validation", "replot_from_csv",
            "PE_VALUES", "MU_FACTORS", "REFERENCE_GEOMETRY"]
@@ -60,89 +62,6 @@ def create_base_parameters(Pe_target, mu_factor, mesh_size_dim=None):
     params.validate()
     params.nondim()
     return params
-
-
-def _stokes_for_study(mesh, H):
-    """Stokes solve, routed through the sharded saddle path when
-    FEU_SHARD is set (parallel/sharded_solve.py build_sharded_stokes;
-    same (sweep x cells) device mesh as the transport solves)."""
-    sh = shard_spec()
-    if sh is None:
-        return stokes_solve(mesh, H=H)
-    from ..parallel.sharded_solve import (build_sharded_stokes,
-                                          sharded_stokes_solve)
-    from ..parallel.sharding import make_device_mesh
-    nd, tp = sh
-    sst = build_sharded_stokes(mesh, H=H,
-                               device_mesh=make_device_mesh(nd, tp=tp))
-    u, p, _info = sharded_stokes_solve(sst, rtol=1e-9, chunk_iters=40)
-    return u, p
-
-
-def _transport_batch(mesh, u, D_batch, mu_batch=None, steps=None,
-                     R_batch=None, rtol=1e-12, precision=None):
-    """One domain's Pe x mu transport batch: vmapped BiCGStab on a
-    single device, or the (sweep x cells) sharded path under FEU_SHARD.
-
-    Either ``mu_batch`` (uniform-mu columns) or ``steps`` +
-    ``R_batch`` (per-sample step-mu Robin matrices) selects the Robin
-    treatment.  Returns (X (B, ndofs), info, sys).
-    """
-    from ..solvers.multilevel import build_multilevel_for
-    sh = shard_spec()
-    B = len(D_batch)
-    if sh is None:
-        sys_t = build_transport_system(mesh, u_values=u.values,
-                                       u_space=u.space)
-        if R_batch is None:
-            ml = build_multilevel_for(sys_t, mesh, D_batch,
-                                      mu_values=mu_batch, u_fine=u)
-            X, info = solve_sweep(sys_t, D_batch, mu_values=mu_batch,
-                                  rtol=rtol, precision=precision,
-                                  multilevel=ml)
-        else:
-            ml = build_multilevel_for(sys_t, mesh, D_batch,
-                                      mu_callables=steps,
-                                      robin_matrices_fine=R_batch,
-                                      u_fine=u)
-            X, info = solve_sweep(sys_t, D_batch, robin_matrices=R_batch,
-                                  rtol=rtol, precision=precision,
-                                  multilevel=ml)
-        return X, info, sys_t
-
-    from ..parallel.sharded_solve import (build_sharded_system,
-                                          sharded_solve_sweep)
-    from ..parallel.sharding import make_device_mesh
-    import jax.numpy as jnp
-    nd, tp = sh
-    dp = max(nd // tp, 1)
-    Bp = ((B + dp - 1) // dp) * dp
-    D_p = list(D_batch) + [D_batch[-1]] * (Bp - B)
-    sys_t = build_transport_system(mesh, u_values=u.values,
-                                   u_space=u.space, pad_shapes=False)
-    if R_batch is None:
-        mu_p = list(mu_batch) + [mu_batch[-1]] * (Bp - B)
-        ml = build_multilevel_for(sys_t, mesh, D_p, mu_values=mu_p,
-                                  u_fine=u)
-        ss = build_sharded_system(sys_t, make_device_mesh(nd, tp=tp),
-                                  multilevel=ml)
-        X, info = sharded_solve_sweep(ss, D_p, mu_p, rtol=rtol,
-                                      chunk_iters=20, maxiter=50000)
-    else:
-        Rb = np.asarray(R_batch)
-        Rb_p = np.concatenate(
-            [Rb] + [Rb[-1:]] * (Bp - B), axis=0) if Bp > B else Rb
-        steps_p = list(steps) + [steps[-1]] * (Bp - B)
-        ml = build_multilevel_for(sys_t, mesh, D_p,
-                                  mu_callables=steps_p,
-                                  robin_matrices_fine=jnp.asarray(Rb_p),
-                                  u_fine=u)
-        ss = build_sharded_system(sys_t, make_device_mesh(nd, tp=tp),
-                                  multilevel=ml, robin_batch=Rb_p)
-        X, info = sharded_solve_sweep(ss, D_p, np.zeros(Bp), rtol=rtol,
-                                      chunk_iters=20, maxiter=50000)
-    info = {k: np.asarray(v)[:B] for k, v in info.items()}
-    return X[:B], info, sys_t
 
 
 def _flux_row(flux_metrics, domain_type):
@@ -243,10 +162,6 @@ def run_advdiff_step_validation(
         print(f"[rect] Stokes: {time.time()-t1:.1f}s {u_r.solver_info}")
     # the Robin element matrices only need the space/facet structure,
     # which any transport system on this mesh shares
-    sys_r0 = build_transport_system(rect_mesh, u_values=u_r.values,
-                                    u_space=u_r.space,
-                                    pad_shapes=shard_spec() is None)
-
     steps = []
     for (Pe, mf) in cells:
         me = sulc_results[(Pe, mf)]["mu_eff"]
@@ -258,11 +173,11 @@ def run_advdiff_step_validation(
                               sulcus_left_x=xL, sulcus_right_x=xR,
                               L_c=0.1 * params.sulci_w, Gamma=STEP_GAMMA)
         steps.append(step)
-    R_batch = np.stack([np.asarray(robin_matrices_for_mu(sys_r0, s))
-                        for s in steps])
     t1 = time.time()
+    # the Robin entity-matrix batches are built inside transport_batch
+    # so they share the solve system's facet padding
     Xr, info_r, sys_r = _transport_batch(
-        rect_mesh, u_r, D_batch, steps=steps, R_batch=R_batch,
+        rect_mesh, u_r, D_batch, steps=steps,
         rtol=rtol, precision=precision)
     if verbose:
         print(f"[rect] {len(cells)} surrogate solves in "

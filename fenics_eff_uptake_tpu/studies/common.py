@@ -17,12 +17,14 @@ import numpy as np
 
 from ..fem.space import Function, FunctionSpace
 from ..meshing.mesh_data import MeshData
+from ..models.stokes_flow import stokes_solve
 from ..params import Parameters
 from ..parallel.sweep import build_transport_system, solve_sweep
 from ..simulation import get_coarse_mesh, get_mesh
 
 __all__ = ["make_no_adv_params", "no_adv_batch", "create_study_dirs",
-           "save_csv", "save_metadata", "shard_spec"]
+           "save_csv", "save_metadata", "shard_spec",
+           "sharded_stokes_or_single", "transport_batch"]
 
 
 def shard_spec():
@@ -156,6 +158,99 @@ def no_adv_batch(geom_params: Parameters, mu_factors: List[float],
             res["mu_eff_comparison"] = mueff_list[i]
         out.append(res)
     return out
+
+
+def sharded_stokes_or_single(mesh, H):
+    """Stokes solve, routed through the sharded saddle path when
+    FEU_SHARD is set (parallel/sharded_solve.py build_sharded_stokes;
+    same (sweep x cells) device mesh as the transport solves)."""
+    sh = shard_spec()
+    if sh is None:
+        return stokes_solve(mesh, H=H)
+    from ..parallel.sharded_solve import (build_sharded_stokes,
+                                          sharded_stokes_solve)
+    from ..parallel.sharding import make_device_mesh
+    nd, tp = sh
+    sst = build_sharded_stokes(mesh, H=H,
+                               device_mesh=make_device_mesh(nd, tp=tp))
+    u, p, _info = sharded_stokes_solve(sst, rtol=1e-9, chunk_iters=40)
+    return u, p
+
+
+def transport_batch(mesh, u, D_batch, mu_batch=None, steps=None,
+                    rtol=1e-12, precision=None):
+    """One domain's Pe x mu transport batch: vmapped BiCGStab on a
+    single device, or the (sweep x cells) sharded path under FEU_SHARD.
+
+    Either ``mu_batch`` (uniform-mu columns) or ``steps`` (per-sample
+    step-mu(x) callables -> Robin entity-matrix batches, built here so
+    they share the solve system's facet padding) selects the Robin
+    treatment.  Returns (X (B, ndofs), info, sys).
+    """
+    import jax.numpy as jnp
+    from ..parallel.sweep import robin_matrices_for_mu
+    from ..solvers.multilevel import build_multilevel_for
+    sh = shard_spec()
+    B = len(D_batch)
+
+    def _steps_R(sys_t):
+        return jnp.asarray(np.stack(
+            [np.asarray(robin_matrices_for_mu(sys_t, s)) for s in steps]))
+
+    if sh is None:
+        sys_t = build_transport_system(mesh, u_values=u.values,
+                                       u_space=u.space)
+        R_batch = None if steps is None else _steps_R(sys_t)
+        if R_batch is None:
+            ml = build_multilevel_for(sys_t, mesh, D_batch,
+                                      mu_values=mu_batch, u_fine=u)
+            X, info = solve_sweep(sys_t, D_batch, mu_values=mu_batch,
+                                  rtol=rtol, precision=precision,
+                                  multilevel=ml)
+        else:
+            ml = build_multilevel_for(sys_t, mesh, D_batch,
+                                      mu_callables=steps,
+                                      robin_matrices_fine=R_batch,
+                                      u_fine=u)
+            X, info = solve_sweep(sys_t, D_batch, robin_matrices=R_batch,
+                                  rtol=rtol, precision=precision,
+                                  multilevel=ml)
+        return X, info, sys_t
+
+    from ..parallel.sharded_solve import (build_sharded_system,
+                                          sharded_solve_sweep)
+    from ..parallel.sharding import make_device_mesh
+    import jax.numpy as jnp
+    nd, tp = sh
+    dp = max(nd // tp, 1)
+    Bp = ((B + dp - 1) // dp) * dp
+    D_p = list(D_batch) + [D_batch[-1]] * (Bp - B)
+    sys_t = build_transport_system(mesh, u_values=u.values,
+                                   u_space=u.space, pad_shapes=False)
+    R_batch = None if steps is None else _steps_R(sys_t)
+    if R_batch is None:
+        mu_p = list(mu_batch) + [mu_batch[-1]] * (Bp - B)
+        ml = build_multilevel_for(sys_t, mesh, D_p, mu_values=mu_p,
+                                  u_fine=u)
+        ss = build_sharded_system(sys_t, make_device_mesh(nd, tp=tp),
+                                  multilevel=ml)
+        X, info = sharded_solve_sweep(ss, D_p, mu_p, rtol=rtol,
+                                      chunk_iters=20, maxiter=50000)
+    else:
+        Rb = np.asarray(R_batch)
+        Rb_p = np.concatenate(
+            [Rb] + [Rb[-1:]] * (Bp - B), axis=0) if Bp > B else Rb
+        steps_p = list(steps) + [steps[-1]] * (Bp - B)
+        ml = build_multilevel_for(sys_t, mesh, D_p,
+                                  mu_callables=steps_p,
+                                  robin_matrices_fine=jnp.asarray(Rb_p),
+                                  u_fine=u)
+        ss = build_sharded_system(sys_t, make_device_mesh(nd, tp=tp),
+                                  multilevel=ml, robin_batch=Rb_p)
+        X, info = sharded_solve_sweep(ss, D_p, np.zeros(Bp), rtol=rtol,
+                                      chunk_iters=20, maxiter=50000)
+    info = {k: np.asarray(v)[:B] for k, v in info.items()}
+    return X[:B], info, sys_t
 
 
 def create_study_dirs(study_name, base_dir):

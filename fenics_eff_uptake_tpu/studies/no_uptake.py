@@ -30,7 +30,8 @@ from ..models.stokes_flow import stokes_solve
 from ..params import Parameters, create_geometry_variations
 from ..parallel.sweep import build_transport_system, solve_sweep
 from ..simulation import get_coarse_mesh, get_mesh
-from .common import create_study_dirs, save_csv, save_metadata
+from .common import (create_study_dirs, save_csv, save_metadata,
+                     sharded_stokes_or_single, transport_batch)
 
 __all__ = ["run_geometry_study", "run_rectangular_baselines",
            "add_ratio_metrics", "export_profile_samples_csv_sulci",
@@ -118,14 +119,11 @@ def run_rectangular_baselines(peclet_numbers=None, mesh_size_dim=None,
     peclet_numbers = list(peclet_numbers or PECLET_NUMBERS)
     p0 = _make_params(peclet_numbers[0], mesh_size_dim=mesh_size_dim)
     mesh = get_mesh(p0, "rectangular")
-    u, p = stokes_solve(mesh, H=p0.H)
-    sys = build_transport_system(mesh, u_values=u.values, u_space=u.space)
+    u, p = sharded_stokes_or_single(mesh, H=p0.H)
     D_batch = [1.0 / pe for pe in peclet_numbers]
-    from ..solvers.multilevel import build_multilevel_for
-    ml = build_multilevel_for(sys, mesh, D_batch,
-                              mu_values=[0.0] * len(D_batch), u_fine=u)
-    X, info = solve_sweep(sys, D_batch, mu_values=[0.0] * len(D_batch),
-                          precision=precision, multilevel=ml)
+    X, info, sys = transport_batch(mesh, u, D_batch,
+                                   mu_batch=[0.0] * len(D_batch),
+                                   precision=precision)
     from ..analysis.batched_metrics import (build_sweep_metrics,
                                             metrics_to_dicts)
     import jax.numpy as jnp
@@ -320,19 +318,13 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
             p0 = _make_params(peclet_numbers[0], w, h, mesh_size_dim)
             mesh = get_mesh(p0, "sulcus")
             t1 = time.time()
-            u, p = stokes_solve(mesh, H=p0.H)
+            u, p = sharded_stokes_or_single(mesh, H=p0.H)
             t_stokes = time.time()
-            sys = build_transport_system(mesh, u_values=u.values,
-                                         u_space=u.space)
             D_batch = [1.0 / pe for pe in peclet_numbers]
-            from ..solvers.multilevel import build_multilevel_for
-            ml = build_multilevel_for(sys, mesh, D_batch,
-                                      mu_values=[0.0] * len(D_batch),
-                                      u_fine=u)
             t_setup = time.time()
-            X, info = solve_sweep(sys, D_batch,
-                                  mu_values=[0.0] * len(D_batch),
-                                  precision=precision, multilevel=ml)
+            X, info, sys = transport_batch(
+                mesh, u, D_batch, mu_batch=[0.0] * len(D_batch),
+                precision=precision)
             t_solve = time.time()
             # ONE batched metrics dispatch for all Pe columns
             # (analysis/batched_metrics.py; equivalence-tested vs the
@@ -361,9 +353,8 @@ def run_geometry_study(peclet_numbers=None, mesh_size_dim=None,
                       f"{time.time()-t1:.1f}s")
             if verbose and os.environ.get("FEU_STUDY_TIMERS"):
                 print(f"    [timers] stokes={t_stokes - t1:.2f}s "
-                      f"setup={t_setup - t_stokes:.2f}s "
-                      f"solve={t_solve - t_setup:.2f}s "
-                      f"(iters={info['iters'].tolist()}) "
+                      f"setup+solve={t_solve - t_setup:.2f}s "
+                      f"(iters={np.asarray(info['iters']).tolist()}) "
                       f"metrics+rows={time.time() - t_solve:.2f}s")
         except Exception as e:
             print(f"  {gkey} failed: {e}")
@@ -447,9 +438,24 @@ def main(argv=None):
     ap.add_argument("command", choices=["run", "baselines", "replot"],
                     nargs="?", default="run")
     ap.add_argument("--mesh-size", type=float, default=None)
+    ap.add_argument("--output-base", default=None)
+    ap.add_argument("--geometries", default=None,
+                    help="comma-separated geometry keys (default: all)")
+    ap.add_argument("--shard", type=int, default=0, metavar="N",
+                    help="run ALL solves (Stokes saddle + Pe transport "
+                         "batches) sharded over an N-device mesh "
+                         "(parallel/sharded_solve.py)")
+    ap.add_argument("--tp", type=int, default=2,
+                    help="cells-partition degree of the device mesh")
     args = ap.parse_args(argv)
+    if args.shard:
+        from .phase_b import _provision_shard_devices
+        _provision_shard_devices(args.shard, args.tp)
     if args.command == "run":
-        run_geometry_study(mesh_size_dim=args.mesh_size)
+        geoms = (args.geometries.split(",") if args.geometries else None)
+        run_geometry_study(mesh_size_dim=args.mesh_size,
+                           geometries=geoms,
+                           base_dir=args.output_base or BASE_DIR)
     elif args.command == "baselines":
         run_rectangular_baselines(mesh_size_dim=args.mesh_size)
     else:

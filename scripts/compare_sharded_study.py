@@ -56,6 +56,23 @@ STUDIES = {
         # residual in percent units (gate vs 1%)
         "floors": {"advective_flux": 1e-1, "flux_error_pct": 1.0},
     },
+    "no_uptake": {
+        "csv_rel": os.path.join("Geometry Comparison Analysis",
+                                "geometry_comparison_results.csv"),
+        "committed": os.path.join(REPO, "examples", "no_uptake_tpu_h0.02",
+                                  "Geometry Comparison Analysis",
+                                  "geometry_comparison_results.csv"),
+        "keys": ["Domain", "Peclet", "Sulcus Width (mm)",
+                 "Sulcus Depth (mm)"],
+        "metrics": ["Avg Concentration", "Total Mass", "Mouth E_L1",
+                    "Mouth_Flux_Total", "Concentration_Ratio"],
+        # net mouth flux is ~0 by physics (no uptake): it is Q_in-Q_out,
+        # each O(E_L1) ~ 0.1, and the artifact's own "Mouth Net Check"
+        # noise on it is ~1e-4 -- gate its delta (measured 1.8e-10 abs)
+        # against the O(0.1) exchange scale, not the vanishing value.
+        # Micro-mouth E_L1 bottoms out at ~1e-4: same reasoning.
+        "floors": {"Mouth_Flux_Total": 1e-1, "Mouth E_L1": 1e-4},
+    },
 }
 
 

@@ -76,6 +76,8 @@ _SLOW = {
     "test_no_uptake_subset",
     "test_phase_a_mu_sweep_small",
     "test_phase_b_sharded_matches_unsharded",
+    "test_no_uptake_sharded_matches_unsharded",
+    "test_advdiff_sharded_matches_unsharded",
     "test_phase_b_subset",
 }
 

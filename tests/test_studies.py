@@ -5,6 +5,7 @@ These mirror the reference's validation-by-construction strategy
 """
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from fenics_eff_uptake_tpu.simulation import clear_mesh_cache
@@ -120,3 +121,55 @@ def test_mesh_convergence_ladder(tmp_path):
     sims = df.sort_values("mesh_size", ascending=False)["mu_eff_sim"]
     assert sims.notna().all()
     assert (df["num_cells"].sort_values().diff().dropna() > 0).all()
+
+
+def test_no_uptake_sharded_matches_unsharded(tmp_path, monkeypatch):
+    """--shard routes the no-uptake pipeline (Stokes saddle + Pe
+    transport batch) through the production shard_map path; CSV rows
+    must match the single-process run at <=1e-8."""
+    from fenics_eff_uptake_tpu.studies.no_uptake import run_geometry_study
+    df_ref = run_geometry_study(
+        peclet_numbers=[0.1, 10.0], mesh_size_dim=COARSE,
+        geometries=["square_small"], base_dir=str(tmp_path / "ref"),
+        verbose=False)
+    clear_mesh_cache()
+    monkeypatch.setenv("FEU_SHARD", "8")
+    monkeypatch.setenv("FEU_SHARD_TP", "2")
+    df_sh = run_geometry_study(
+        peclet_numbers=[0.1, 10.0], mesh_size_dim=COARSE,
+        geometries=["square_small"], base_dir=str(tmp_path / "sh"),
+        verbose=False)
+    assert len(df_sh) == len(df_ref)
+    for col in ("Avg Concentration", "Total Mass", "Mouth E_L1",
+                "Concentration_Ratio"):
+        a = df_ref[col].to_numpy(float)
+        b = df_sh[col].to_numpy(float)
+        ok = np.isfinite(a) & np.isfinite(b)
+        assert ok.any()
+        rel = np.abs(a[ok] - b[ok]) / np.maximum(np.abs(a[ok]), 1e-6)
+        assert rel.max() < 1e-8, (col, rel)
+
+
+def test_advdiff_sharded_matches_unsharded(tmp_path, monkeypatch):
+    """--shard routes the flagship adv-diff study -- including the
+    per-sample step-mu(x) Robin surrogate batch -- through the sharded
+    path; CSV rows must match the single-process run at <=1e-7."""
+    from fenics_eff_uptake_tpu.studies.adv_diff import (
+        run_advdiff_step_validation)
+    df_ref = run_advdiff_step_validation(
+        output_base_dir=str(tmp_path / "ref"), mesh_size_dim=COARSE,
+        pe_values=[1.0], mu_factors=[0.1, 10.0], verbose=False)
+    clear_mesh_cache()
+    monkeypatch.setenv("FEU_SHARD", "8")
+    monkeypatch.setenv("FEU_SHARD_TP", "2")
+    df_sh = run_advdiff_step_validation(
+        output_base_dir=str(tmp_path / "sh"), mesh_size_dim=COARSE,
+        pe_values=[1.0], mu_factors=[0.1, 10.0], verbose=False)
+    assert len(df_sh) == len(df_ref) == 4
+    for col in ("total_flux", "uptake_flux", "avg_conc", "mu_eff_open"):
+        a = pd.to_numeric(df_ref[col], errors="coerce").to_numpy(float)
+        b = pd.to_numeric(df_sh[col], errors="coerce").to_numpy(float)
+        ok = np.isfinite(a) & np.isfinite(b)
+        assert ok.any()
+        rel = np.abs(a[ok] - b[ok]) / np.maximum(np.abs(a[ok]), 1e-6)
+        assert rel.max() < 1e-7, (col, rel)
