@@ -65,3 +65,43 @@ def test_phase_b_cr_vs_golden_moderate_mesh():
     assert abs(cr - 0.8757013310084715) < 0.02, cr
     fr = df["flux_ratio"].iloc[0]
     assert abs(fr - 0.9582400939212387) < 0.02, fr
+
+
+def test_el1_ladder_certificates_all_agree():
+    """Every completed E_L1 refinement-ladder family must certify:
+    the FEniCS golden and our h=0.02 value bracket the same
+    Richardson limit, with an inter-code delta bounded by the
+    discretization error either code still carries (the exact
+    statement defended in PARITY.md).  Artifact-gated: reads
+    examples/el1_convergence/ladder_*.jsonl summary rows
+    (scripts/el1_convergence.py writes them; the printer twin lives
+    in scripts/compare_goldens.py el1_certificates)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(
+        repo, "examples", "el1_convergence", "ladder_*.jsonl")))
+    assert paths, "no ladder artifacts committed"
+    checked = 0
+    for path in paths:
+        with open(path) as fh:
+            for line in fh:
+                r = json.loads(line)
+                if not (r.get("summary") and "extrapolated_E_L1" in r):
+                    continue
+                g = r.get("golden")
+                ge = r.get("golden_err_vs_star")
+                oe = r.get("ours_f1_err_vs_star")
+                if g is None or ge is None:
+                    continue
+                e_star = r["extrapolated_E_L1"]
+                ours1 = r["ladder"][0][1]
+                same_side = (g < e_star) == (ours1 < e_star)
+                delta_rel = abs(g - ours1) / abs(e_star)
+                close = delta_rel <= max(ge, oe) * 1.05 + 1e-12
+                assert same_side and close, (path, r["pe"], g, ours1,
+                                             e_star, ge, oe)
+                checked += 1
+    assert checked >= 10, f"only {checked} certified rows found"
