@@ -26,12 +26,9 @@ from typing import Dict, List
 
 import numpy as np
 
-from ..models.stokes_flow import stokes_solve
 from ..params import Parameters, StepUptakeOpen
-from ..parallel.sweep import (build_transport_system, robin_matrices_for_mu,
-                              solve_sweep)
-from ..simulation import get_coarse_mesh, get_mesh
-from .common import (save_csv, save_metadata, shard_spec,
+from ..simulation import get_mesh
+from .common import (save_metadata,
                      sharded_stokes_or_single as _stokes_for_study,
                      transport_batch as _transport_batch)
 
@@ -160,8 +157,6 @@ def run_advdiff_step_validation(
     u_r, p_r = _stokes_for_study(rect_mesh, H=p0.H)
     if verbose:
         print(f"[rect] Stokes: {time.time()-t1:.1f}s {u_r.solver_info}")
-    # the Robin element matrices only need the space/facet structure,
-    # which any transport system on this mesh shares
     steps = []
     for (Pe, mf) in cells:
         me = sulc_results[(Pe, mf)]["mu_eff"]

@@ -26,10 +26,8 @@ import numpy as np
 
 from ..analysis.profiles import compute_conc_profiles, compute_velocity_metrics
 from ..fem.space import Function
-from ..models.stokes_flow import stokes_solve
 from ..params import Parameters, create_geometry_variations
-from ..parallel.sweep import build_transport_system, solve_sweep
-from ..simulation import get_coarse_mesh, get_mesh
+from ..simulation import get_mesh
 from .common import (create_study_dirs, save_csv, save_metadata,
                      sharded_stokes_or_single, transport_batch)
 
