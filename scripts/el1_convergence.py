@@ -107,33 +107,61 @@ def run_factor(pe_list, w, d, mesh_size_dim, factor):
     return rows
 
 
-def richardson(series):
-    """E* from the last 3 rungs of E(factor); assumes E = E* + C h^p."""
+def richardson(series, conv_tol=5e-3):
+    """E* from the last 3 rungs of E(factor); assumes E = E* + C h^p.
+
+    Falls back to a converged-tail certificate when the geometric-ratio
+    extrapolation is unavailable but the last increment is already at
+    noise level (|E(4f) - E(2f)| <= conv_tol * |E(4f)|): the ladder has
+    flattened, so the last rung IS the limit to within tail_rel_step
+    (recorded in the summary for transparency; the parity deltas under
+    diagnosis are 1e-2 and above, an order larger than conv_tol)."""
     if len(series) < 3:
         return None
     (f1, e1), (f2, e2), (f3, e3) = series[-3:]
     d1, d2 = e2 - e1, e3 - e2
-    if d1 == 0 or d2 / d1 <= 0 or d2 / d1 >= 1:
-        return None
-    rate = d2 / d1
-    return {"extrapolated_E_L1": e3 + d2 * rate / (1 - rate),
-            "observed_rate_p": -math.log(rate) / math.log(f3 / f2)}
+    if d1 != 0 and 0 < d2 / d1 < 1:
+        rate = d2 / d1
+        return {"extrapolated_E_L1": e3 + d2 * rate / (1 - rate),
+                "observed_rate_p": -math.log(rate) / math.log(f3 / f2)}
+    if e3 != 0 and abs(d2) <= conv_tol * abs(e3):
+        return {"extrapolated_E_L1": e3, "observed_rate_p": None,
+                "converged_tail": True,
+                "tail_rel_step": abs(d2) / abs(e3)}
+    return None
 
 
-def run_family(w, d, pe_list, factors, mesh_size_dim, out_dir):
+def run_family(w, d, pe_list, factors, mesh_size_dim, out_dir,
+               extend=False):
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"ladder_w{w:g}_d{d:g}.jsonl")
     goldens = golden_el1(w, d)
     all_rows = []
+    if extend and os.path.exists(path):
+        # keep prior rungs; only run factors not yet covered for every
+        # requested Pe (a rung is one batched sweep over all Pe anyway)
+        with open(path) as fh:
+            for line in fh:
+                r = json.loads(line)
+                if not r.get("summary") and r.get("E_L1") is not None:
+                    all_rows.append(r)
+    done = {}
+    for r in all_rows:
+        done.setdefault(r["factor"], set()).add(r["pe"])
+    for f in factors:
+        if set(pe_list) <= done.get(f, set()):
+            continue
+        all_rows = [r for r in all_rows if r["factor"] != f]
+        for r in run_factor(pe_list, w, d, mesh_size_dim, f):
+            all_rows.append(r)
+            print(json.dumps(r), flush=True)
+    all_rows.sort(key=lambda r: (r["factor"], r["pe"]))
     with open(path, "w") as fh:
-        for f in factors:
-            for r in run_factor(pe_list, w, d, mesh_size_dim, f):
-                all_rows.append(r)
-                print(json.dumps(r), flush=True)
-                fh.write(json.dumps(r) + "\n")
+        for r in all_rows:
+            fh.write(json.dumps(r) + "\n")
         for pe in pe_list:
-            series = [(r["factor"], r["E_L1"]) for r in all_rows
-                      if r["pe"] == pe]
+            series = sorted((r["factor"], r["E_L1"]) for r in all_rows
+                            if r["pe"] == pe)
             rich = richardson(series)
             summ = {"summary": True, "pe": pe, "w": w, "d": d,
                     "ladder": series}
@@ -161,6 +189,9 @@ def main():
     ap.add_argument("--mesh", type=float, default=0.02)
     ap.add_argument("--factors", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--out", default="examples/el1_convergence")
+    ap.add_argument("--extend", action="store_true",
+                    help="keep prior rungs in the artifact; only run "
+                         "factors not yet covered for every requested Pe")
     args = ap.parse_args()
 
     fams = []
@@ -173,7 +204,8 @@ def main():
 
     for w, d in fams:
         print(f"### family w={w} d={d}", flush=True)
-        run_family(w, d, args.pe, args.factors, args.mesh, args.out)
+        run_family(w, d, args.pe, args.factors, args.mesh, args.out,
+                   extend=args.extend)
 
 
 if __name__ == "__main__":
