@@ -20,6 +20,7 @@ from typing import Optional
 
 import numpy as np
 
+from . import native
 from .geometry import SulcusGeometry
 from .markers import build_mesh_data
 from .mesh_data import MeshData, orient_ccw
@@ -30,8 +31,15 @@ __all__ = ["read_msh2", "write_msh2", "mesh_from_msh2"]
 def read_msh2(path):
     """Parse an ASCII MSH 2.x file; returns dict with nodes/triangles/lines.
 
-    Node ids are remapped to contiguous 0-based indices.
+    Node ids are remapped to contiguous 0-based indices.  Large meshes go
+    through the native C++ parser (native/meshkernel.cpp feu_msh2_parse,
+    ~12x the Python throughput); the pure-Python path below is the fallback
+    and the behavioural spec (FEU_NATIVE_MSHIO=0 forces it).
     """
+    if os.environ.get("FEU_NATIVE_MSHIO", "1") != "0":
+        data = native.read_msh2_native(path)
+        if data is not None:
+            return data
     with open(path) as f:
         lines = f.read().splitlines()
     i = 0

@@ -15,7 +15,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["available", "triangulate", "smooth_and_triangulate"]
+__all__ = ["available", "triangulate", "smooth_and_triangulate",
+           "read_msh2_native"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -42,10 +43,13 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("FEU_NATIVE_MESHER", "1") == "0":
         return None
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_NATIVE_DIR, "meshkernel.cpp")
+    src = os.path.join(_NATIVE_DIR, "meshkernel.cpp")
+    stale = (os.path.exists(src) and os.path.exists(_LIB_PATH)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.exists(_LIB_PATH) or stale:
         if not os.path.exists(src) or not _build():
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.feu_triangulate.restype = ctypes.c_int64
@@ -57,6 +61,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        try:  # a .so predating the msh2 parser stays usable for meshing
+            lib.feu_msh2_parse.restype = ctypes.c_void_p
+            lib.feu_msh2_parse.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+            lib.feu_msh2_copy.restype = ctypes.c_int64
+            lib.feu_msh2_copy.argtypes = [ctypes.c_void_p] + [
+                ctypes.POINTER(ctypes.c_double)] + [
+                ctypes.POINTER(ctypes.c_int64)] * 4
+            lib.feu_msh2_free.restype = None
+            lib.feu_msh2_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            pass
         _lib = lib
     except OSError as e:
         print(f"[native] meshkernel load failed: {e}")
@@ -83,6 +99,49 @@ def triangulate(points: np.ndarray) -> Optional[np.ndarray]:
     if t < 0:
         return None
     return out[:t].copy()
+
+
+def read_msh2_native(path):
+    """Parse an ASCII MSH 2.x file with the C++ kernel.
+
+    Returns the same dict as ``msh_io.read_msh2`` (vertices / triangles /
+    triangle_tags / lines / line_tags / version) or None if the native
+    kernel is unavailable or refuses the file (caller falls back to the
+    pure-Python parser).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "feu_msh2_parse"):
+        return None
+    counts = (ctypes.c_int64 * 4)()
+    handle = lib.feu_msh2_parse(os.fspath(path).encode(), counts)
+    if not handle:
+        return None
+    try:
+        n, t, l, v10 = counts[0], counts[1], counts[2], counts[3]
+        verts = np.empty((n, 2), dtype=np.float64)
+        tris = np.empty((t, 3), dtype=np.int64)
+        tri_tags = np.empty(t, dtype=np.int64)
+        lines = np.empty((l, 2), dtype=np.int64)
+        line_tags = np.empty(l, dtype=np.int64)
+        rc = lib.feu_msh2_copy(
+            handle,
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            tri_tags.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lines.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            line_tags.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc != 0:
+            return None
+    finally:
+        lib.feu_msh2_free(handle)
+    return {
+        "vertices": verts,
+        "triangles": tris,
+        "triangle_tags": tri_tags,
+        "lines": lines,
+        "line_tags": line_tags,
+        "version": f"{v10 // 10}.{v10 % 10}",
+    }
 
 
 def smooth_and_triangulate(points: np.ndarray, n_fixed: int,

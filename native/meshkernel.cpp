@@ -20,7 +20,11 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -412,9 +416,186 @@ int64_t triangulate_impl(const double* pts, int64_t n, int64_t* out,
   return t;
 }
 
+// ---------------------------------------------------------------------------
+// ASCII Gmsh MSH 2.x parser (native twin of meshing/msh_io.py:read_msh2).
+// Line-based like the Python parser so unknown element types are skipped by
+// consuming the remainder of their line; node ids are remapped to contiguous
+// 0-based indices in ascending-id order (duplicate ids: last wins).
+// ---------------------------------------------------------------------------
+
+struct Msh2Data {
+  std::vector<double> verts;       // 2 * n_nodes
+  std::vector<int64_t> tris;       // 3 * n_tris
+  std::vector<int64_t> tri_tags;   // n_tris
+  std::vector<int64_t> lines;      // 2 * n_lines
+  std::vector<int64_t> line_tags;  // n_lines
+  int64_t version_x10 = 0;         // e.g. "2.2" -> 22
+};
+
+// Advance past the current line; *line/*len get the trimmed line contents.
+static bool next_line(const char*& p, const char* end, const char** line,
+                      size_t* len) {
+  if (p >= end) return false;
+  const char* nl = (const char*)std::memchr(p, '\n', (size_t)(end - p));
+  const char* stop = nl ? nl : end;
+  const char* a = p;
+  while (a < stop && (*a == ' ' || *a == '\t' || *a == '\r')) ++a;
+  const char* b = stop;
+  while (b > a && (b[-1] == ' ' || b[-1] == '\t' || b[-1] == '\r')) --b;
+  *line = a;
+  *len = (size_t)(b - a);
+  p = nl ? nl + 1 : end;
+  return true;
+}
+
+static bool line_is(const char* line, size_t len, const char* kw) {
+  size_t kl = std::strlen(kw);
+  return len == kl && std::memcmp(line, kw, kl) == 0;
+}
+
+static Msh2Data* msh2_parse_impl(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf((size_t)(sz > 0 ? sz : 0));
+  if (sz > 0 && std::fread(buf.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    std::fclose(f);
+    return nullptr;
+  }
+  std::fclose(f);
+
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  const char* line;
+  size_t len;
+
+  std::unordered_map<int64_t, std::pair<double, double>> nodes;
+  std::vector<int64_t> raw_tris, raw_tri_tags, raw_lines, raw_line_tags;
+  int64_t version_x10 = 0;
+
+  while (next_line(p, end, &line, &len)) {
+    if (line_is(line, len, "$MeshFormat")) {
+      if (!next_line(p, end, &line, &len)) return nullptr;
+      char* q = nullptr;
+      double v = std::strtod(line, &q);
+      if (q == line || v < 2.0 || v >= 3.0) return nullptr;  // 2.x only
+      version_x10 = (int64_t)std::llround(v * 10.0);
+      next_line(p, end, &line, &len);  // $EndMeshFormat
+    } else if (line_is(line, len, "$Nodes")) {
+      if (!next_line(p, end, &line, &len)) return nullptr;
+      int64_t count = std::strtoll(line, nullptr, 10);
+      nodes.reserve((size_t)count * 2);
+      for (int64_t k = 0; k < count; ++k) {
+        if (!next_line(p, end, &line, &len)) return nullptr;
+        char* q;
+        int64_t id = std::strtoll(line, &q, 10);
+        double x = std::strtod(q, &q);
+        double y = std::strtod(q, &q);  // z stripped (ref mesh.py:380-382)
+        nodes[id] = {x, y};
+      }
+      next_line(p, end, &line, &len);  // $EndNodes
+    } else if (line_is(line, len, "$Elements")) {
+      if (!next_line(p, end, &line, &len)) return nullptr;
+      int64_t count = std::strtoll(line, nullptr, 10);
+      for (int64_t k = 0; k < count; ++k) {
+        if (!next_line(p, end, &line, &len)) return nullptr;
+        char* q;
+        std::strtoll(line, &q, 10);  // element id (unused)
+        int64_t etype = std::strtoll(q, &q, 10);
+        int64_t ntags = std::strtoll(q, &q, 10);
+        int64_t tag0 = 0;
+        for (int64_t t = 0; t < ntags; ++t) {
+          int64_t tg = std::strtoll(q, &q, 10);
+          if (t == 0) tag0 = tg;
+        }
+        if (etype == 2) {  // 3-node triangle
+          for (int e = 0; e < 3; ++e) raw_tris.push_back(std::strtoll(q, &q, 10));
+          raw_tri_tags.push_back(tag0);
+        } else if (etype == 1) {  // 2-node line
+          for (int e = 0; e < 2; ++e) raw_lines.push_back(std::strtoll(q, &q, 10));
+          raw_line_tags.push_back(tag0);
+        }  // other element types: line already consumed, skip
+      }
+      next_line(p, end, &line, &len);  // $EndElements
+    }
+  }
+  if (nodes.empty()) return nullptr;
+
+  std::vector<int64_t> ids;
+  ids.reserve(nodes.size());
+  for (auto& kv : nodes) ids.push_back(kv.first);
+  std::sort(ids.begin(), ids.end());
+  std::unordered_map<int64_t, int64_t> remap;
+  remap.reserve(ids.size() * 2);
+  auto* out = new Msh2Data();
+  out->version_x10 = version_x10;
+  out->verts.reserve(ids.size() * 2);
+  for (size_t j = 0; j < ids.size(); ++j) {
+    remap[ids[j]] = (int64_t)j;
+    auto& xy = nodes[ids[j]];
+    out->verts.push_back(xy.first);
+    out->verts.push_back(xy.second);
+  }
+  auto apply = [&](const std::vector<int64_t>& raw,
+                   std::vector<int64_t>* dst) -> bool {
+    dst->reserve(raw.size());
+    for (int64_t v : raw) {
+      auto it = remap.find(v);
+      if (it == remap.end()) return false;  // dangling connectivity
+      dst->push_back(it->second);
+    }
+    return true;
+  };
+  if (!apply(raw_tris, &out->tris) || !apply(raw_lines, &out->lines)) {
+    delete out;
+    return nullptr;
+  }
+  out->tri_tags = std::move(raw_tri_tags);
+  out->line_tags = std::move(raw_line_tags);
+  return out;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Parse MSH 2.x ASCII. counts[0..3] = n_nodes, n_tris, n_lines, version*10.
+// Returns an opaque handle (free with feu_msh2_free) or NULL on failure.
+void* feu_msh2_parse(const char* path, int64_t* counts) {
+  try {
+    Msh2Data* d = msh2_parse_impl(path);
+    if (!d) return nullptr;
+    counts[0] = (int64_t)d->verts.size() / 2;
+    counts[1] = (int64_t)d->tris.size() / 3;
+    counts[2] = (int64_t)d->lines.size() / 2;
+    counts[3] = d->version_x10;
+    return d;
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+// Copy parsed arrays into caller-allocated buffers sized from counts.
+int64_t feu_msh2_copy(void* handle, double* verts, int64_t* tris,
+                      int64_t* tri_tags, int64_t* lines, int64_t* line_tags) {
+  try {
+    auto* d = (Msh2Data*)handle;
+    std::memcpy(verts, d->verts.data(), d->verts.size() * sizeof(double));
+    std::memcpy(tris, d->tris.data(), d->tris.size() * sizeof(int64_t));
+    std::memcpy(tri_tags, d->tri_tags.data(),
+                d->tri_tags.size() * sizeof(int64_t));
+    std::memcpy(lines, d->lines.data(), d->lines.size() * sizeof(int64_t));
+    std::memcpy(line_tags, d->line_tags.data(),
+                d->line_tags.size() * sizeof(int64_t));
+    return 0;
+  } catch (...) {
+    return -1;
+  }
+}
+
+void feu_msh2_free(void* handle) { delete (Msh2Data*)handle; }
 
 int64_t feu_triangulate(const double* pts, int64_t n, int64_t* out_tris,
                         int64_t max_tris) {

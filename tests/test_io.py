@@ -63,6 +63,70 @@ $EndElements
     assert list(data["line_tags"]) == [7, 8]
 
 
+def test_msh2_native_matches_python(tmp_path, monkeypatch):
+    """The C++ parser (feu_msh2_parse) is bit-identical to the Python spec,
+    including non-contiguous node ids, skipped element types, and tags."""
+    from fenics_eff_uptake_tpu.meshing import native
+    content = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+1
+2 5 "domain"
+$EndPhysicalNames
+$Nodes
+5
+10 0 0 0
+2 1 0 0
+30 1 1 0
+4 0 1 0
+7 0.5 0.5 0.25
+$EndNodes
+$Elements
+6
+1 15 2 1 10 10
+2 2 2 5 1 10 2 30
+3 2 2 5 1 10 30 4
+4 1 2 7 2 10 2
+5 1 2 8 2 2 30
+6 2 0 7 30 4
+$EndElements
+"""
+    path = str(tmp_path / "odd.msh")
+    with open(path, "w") as f:
+        f.write(content)
+    nat = native.read_msh2_native(path)
+    if nat is None:
+        import pytest
+        pytest.skip("native msh2 parser unavailable")
+    monkeypatch.setenv("FEU_NATIVE_MSHIO", "0")
+    py = read_msh2(path)
+    for key in ("vertices", "triangles", "triangle_tags", "lines",
+                "line_tags"):
+        assert np.array_equal(nat[key], py[key]), key
+        assert nat[key].dtype == py[key].dtype, key
+    assert nat["version"] == py["version"] == "2.2"
+    # z coordinate stripped, ids remapped ascending (10 -> index 3)
+    assert nat["vertices"].shape == (5, 2)
+    assert nat["triangles"].min() >= 0 and nat["triangles"].max() <= 4
+
+
+def test_msh2_native_roundtrip_large(tmp_path):
+    """Round-trip a real generated mesh through the native parser."""
+    from fenics_eff_uptake_tpu.meshing import native
+    md = generate_mesh(width=5.0, height=1.0, sulcus_depth=0.5,
+                       sulcus_width=0.5, mesh_size=0.1,
+                       refinement_factor=1, domain_type="sulcus")
+    path = str(tmp_path / "mesh.msh")
+    write_msh2(path, md.vertices, md.cells)
+    nat = native.read_msh2_native(path)
+    if nat is None:
+        import pytest
+        pytest.skip("native msh2 parser unavailable")
+    assert np.allclose(nat["vertices"], md.vertices)
+    assert np.array_equal(nat["triangles"], md.cells)
+
+
 def test_vtk_writers(tmp_path):
     from fenics_eff_uptake_tpu.models.diffusion import pure_diffusion_solve
     from fenics_eff_uptake_tpu.utils.vtk import (write_vtk_cell_scalar,
