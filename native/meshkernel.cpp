@@ -453,13 +453,39 @@ static bool line_is(const char* line, size_t len, const char* kw) {
   return len == kl && std::memcmp(line, kw, kl) == 0;
 }
 
+// Bounded field parsers: strtod/strtoll skip leading whitespace INCLUDING
+// newlines, so an unchecked parse of a short/malformed line would silently
+// consume the next line's bytes (and, unterminated, read past the buffer).
+// Each parse must (a) convert something and (b) stay within [line, line+len];
+// otherwise the whole parse fails and the caller falls back to the Python
+// spec parser, which raises.
+static bool parse_i64(const char** q, const char* line_end, int64_t* out) {
+  char* e = nullptr;
+  int64_t v = std::strtoll(*q, &e, 10);
+  if (e == *q || e > line_end) return false;
+  *q = e;
+  *out = v;
+  return true;
+}
+
+static bool parse_f64(const char** q, const char* line_end, double* out) {
+  char* e = nullptr;
+  double v = std::strtod(*q, &e);
+  if (e == *q || e > line_end) return false;
+  *q = e;
+  *out = v;
+  return true;
+}
+
 static Msh2Data* msh2_parse_impl(const char* path) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
   std::fseek(f, 0, SEEK_END);
   long sz = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
-  std::vector<char> buf((size_t)(sz > 0 ? sz : 0));
+  // sz+1 NUL terminator: the buffer is parsed with C string functions and a
+  // file ending in a numeric token must not read past the allocation
+  std::vector<char> buf((size_t)(sz > 0 ? sz : 0) + 1, '\0');
   if (sz > 0 && std::fread(buf.data(), 1, (size_t)sz, f) != (size_t)sz) {
     std::fclose(f);
     return nullptr;
@@ -467,7 +493,7 @@ static Msh2Data* msh2_parse_impl(const char* path) {
   std::fclose(f);
 
   const char* p = buf.data();
-  const char* end = p + buf.size();
+  const char* end = p + (size_t)(sz > 0 ? sz : 0);
   const char* line;
   size_t len;
 
@@ -478,49 +504,73 @@ static Msh2Data* msh2_parse_impl(const char* path) {
   while (next_line(p, end, &line, &len)) {
     if (line_is(line, len, "$MeshFormat")) {
       if (!next_line(p, end, &line, &len)) return nullptr;
-      char* q = nullptr;
-      double v = std::strtod(line, &q);
-      if (q == line || v < 2.0 || v >= 3.0) return nullptr;  // 2.x only
-      version_x10 = (int64_t)std::llround(v * 10.0);
+      // only accept the canonical "D.D ..." version token; anything else
+      // (a bare "2", garbage) goes back to the Python spec parser, which
+      // carries the raw token / raises (meshing/msh_io.py:51-57)
+      if (len < 3 || line[0] != '2' || line[1] != '.' ||
+          line[2] < '0' || line[2] > '9' ||
+          (len > 3 && line[3] != ' ' && line[3] != '\t'))
+        return nullptr;
+      version_x10 = 20 + (int64_t)(line[2] - '0');
       next_line(p, end, &line, &len);  // $EndMeshFormat
     } else if (line_is(line, len, "$Nodes")) {
       if (!next_line(p, end, &line, &len)) return nullptr;
-      int64_t count = std::strtoll(line, nullptr, 10);
+      const char* q = line;
+      int64_t count = 0;
+      if (!parse_i64(&q, line + len, &count) || count < 0) return nullptr;
       nodes.reserve((size_t)count * 2);
       for (int64_t k = 0; k < count; ++k) {
         if (!next_line(p, end, &line, &len)) return nullptr;
-        char* q;
-        int64_t id = std::strtoll(line, &q, 10);
-        double x = std::strtod(q, &q);
-        double y = std::strtod(q, &q);  // z stripped (ref mesh.py:380-382)
+        const char* le = line + len;
+        q = line;
+        int64_t id;
+        double x, y;
+        if (!parse_i64(&q, le, &id) || !parse_f64(&q, le, &x) ||
+            !parse_f64(&q, le, &y))  // z stripped (ref mesh.py:380-382)
+          return nullptr;
         nodes[id] = {x, y};
       }
       next_line(p, end, &line, &len);  // $EndNodes
     } else if (line_is(line, len, "$Elements")) {
       if (!next_line(p, end, &line, &len)) return nullptr;
-      int64_t count = std::strtoll(line, nullptr, 10);
+      const char* q = line;
+      int64_t count = 0;
+      if (!parse_i64(&q, line + len, &count) || count < 0) return nullptr;
       for (int64_t k = 0; k < count; ++k) {
         if (!next_line(p, end, &line, &len)) return nullptr;
-        char* q;
-        std::strtoll(line, &q, 10);  // element id (unused)
-        int64_t etype = std::strtoll(q, &q, 10);
-        int64_t ntags = std::strtoll(q, &q, 10);
-        int64_t tag0 = 0;
+        const char* le = line + len;
+        q = line;
+        int64_t eid, etype, ntags, tag0 = 0;
+        if (!parse_i64(&q, le, &eid) || !parse_i64(&q, le, &etype) ||
+            !parse_i64(&q, le, &ntags) || ntags < 0)
+          return nullptr;
         for (int64_t t = 0; t < ntags; ++t) {
-          int64_t tg = std::strtoll(q, &q, 10);
+          int64_t tg;
+          if (!parse_i64(&q, le, &tg)) return nullptr;
           if (t == 0) tag0 = tg;
         }
         if (etype == 2) {  // 3-node triangle
-          for (int e = 0; e < 3; ++e) raw_tris.push_back(std::strtoll(q, &q, 10));
+          int64_t v;
+          for (int e = 0; e < 3; ++e) {
+            if (!parse_i64(&q, le, &v)) return nullptr;
+            raw_tris.push_back(v);
+          }
           raw_tri_tags.push_back(tag0);
         } else if (etype == 1) {  // 2-node line
-          for (int e = 0; e < 2; ++e) raw_lines.push_back(std::strtoll(q, &q, 10));
+          int64_t v;
+          for (int e = 0; e < 2; ++e) {
+            if (!parse_i64(&q, le, &v)) return nullptr;
+            raw_lines.push_back(v);
+          }
           raw_line_tags.push_back(tag0);
         }  // other element types: line already consumed, skip
       }
       next_line(p, end, &line, &len);  // $EndElements
     }
   }
+  // no $MeshFormat seen: the Python spec parser returns version=None --
+  // refuse here so the fallback carries the declared behaviour
+  if (version_x10 == 0) return nullptr;
   if (nodes.empty()) return nullptr;
 
   std::vector<int64_t> ids;

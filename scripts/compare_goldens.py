@@ -153,11 +153,11 @@ def el1_certificates(ladder_dir="examples/el1_convergence"):
     Reads the refinement-ladder artifacts (scripts/el1_convergence.py)
     and reports, per (w, d, Pe): the FEniCS golden, our h=0.02 value,
     the Richardson-extrapolated limit E*, and each code's distance to
-    E*.  "agree" = both codes sit on the same side of E* and the
-    golden-vs-ours delta is no larger than the discretization error
-    still carried at h=0.02 (max of the two distances to E*) -- i.e.
-    the parity delta measures shared under-resolution of the mouth-lip
-    corner singularity, not a disagreement about the converged physics.
+    E*.  "agree" = the golden sits close to OUR extrapolated limit in
+    its own right (el1_row_agrees: ge bounded by our own h=0.02 rung's
+    error plus slack) -- i.e. the parity delta measures shared
+    under-resolution of the mouth-lip corner singularity, not a
+    disagreement about the converged physics.
     """
     import glob
     import json
@@ -199,8 +199,8 @@ def el1_certificates(ladder_dir="examples/el1_convergence"):
               f"{_fmt(g) if g is not None else '--'} | {_fmt(ours1)} | "
               f"{_fmt(e_star)} | {_fmt(ge) if ge is not None else '--'} | "
               f"{_fmt(oe)} | {rate} | {verdict} |")
-    print(f"\n- {n_agree}/{len(rows)} certified rows: both codes "
-          "bracket the same Richardson limit (deltas = shared h=0.02 "
+    print(f"\n- {n_agree}/{len(rows)} certified rows: the golden "
+          "converges onto our Richardson limit (deltas = shared h=0.02 "
           "corner-singularity under-resolution)")
     return {(round(r["w"], 4), round(r["d"], 4), round(r["pe"], 4))
             for r in rows
@@ -262,19 +262,20 @@ def el1_coverage(ours_dir, ref_root, certified):
 def el1_row_agrees(g, ours1, e_star, ge, oe):
     """Certificate rule, shared with tests/test_parity.py.
 
-    Same side of E*: the inter-code delta must be within the larger of
-    the two codes' remaining discretization errors.  Opposite sides
-    (the codes bracket E*): the delta decomposes exactly as ge + oe
-    (triangle equality through the limit), so require delta <= that sum
-    AND both errors individually sane (< 0.5) -- the strongest case is
-    ge ~ 0, i.e. our refined ladder converges onto the FEniCS golden.
+    "agree" must encode golden-converges-onto-OUR-limit, so the binding
+    condition is on ge itself (the golden's distance to the Richardson
+    limit E* of our ladder), not on the inter-code delta -- the delta
+    decomposes through E* by the triangle (in)equality and earlier
+    side-based delta bounds were tautologies (ADVICE r4).  Both codes
+    discretize at the same h = 0.02, so the golden's remaining error
+    must be comparable to our own h = 0.02 rung's error: require
+    ge <= 1.25*oe + 0.01 (25% + 1% absolute slack for the quadrature /
+    facet-marking differences between the codes) and ge <= 0.25 as an
+    absolute cap (every certified family measures ge in [0.0001, 0.20],
+    with ge < oe throughout -- the golden sits BETWEEN our h = 0.02
+    value and our extrapolated limit).
     """
-    delta_rel = abs(g - ours1) / abs(e_star)
-    if max(ge, oe) > 0.5:
-        return False
-    if (g < e_star) == (ours1 < e_star):
-        return delta_rel <= max(ge, oe) * 1.05 + 1e-12
-    return delta_rel <= (ge + oe) * 1.05 + 1e-12
+    return ge <= 1.25 * oe + 0.01 and ge <= 0.25
 
 
 def compare_phase_a(ours_dir, ref_root):

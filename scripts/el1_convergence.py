@@ -149,17 +149,24 @@ def run_family(w, d, pe_list, factors, mesh_size_dim, out_dir,
     for r in all_rows:
         done.setdefault(r["factor"], set()).add(r["pe"])
     for f in factors:
-        if set(pe_list) <= done.get(f, set()):
+        # run ONLY the missing (factor, pe) pairs: prior rungs for Pe
+        # values outside the current --pe list are kept, and already-
+        # covered Pe are not re-solved (ADVICE r4: the old per-factor
+        # drop deleted committed rungs from the artifact)
+        missing = [pe for pe in pe_list if pe not in done.get(f, set())]
+        if not missing:
             continue
-        all_rows = [r for r in all_rows if r["factor"] != f]
-        for r in run_factor(pe_list, w, d, mesh_size_dim, f):
+        for r in run_factor(missing, w, d, mesh_size_dim, f):
             all_rows.append(r)
             print(json.dumps(r), flush=True)
     all_rows.sort(key=lambda r: (r["factor"], r["pe"]))
+    # summaries for every Pe present in the merged rows, not only the
+    # currently requested ones (keeps prior certificates in the artifact)
+    summary_pes = sorted({r["pe"] for r in all_rows})
     with open(path, "w") as fh:
         for r in all_rows:
             fh.write(json.dumps(r) + "\n")
-        for pe in pe_list:
+        for pe in summary_pes:
             series = sorted((r["factor"], r["E_L1"]) for r in all_rows
                             if r["pe"] == pe)
             rich = richardson(series)

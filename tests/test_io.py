@@ -111,6 +111,44 @@ $EndElements
     assert nat["triangles"].min() >= 0 and nat["triangles"].max() <= 4
 
 
+def test_msh2_native_refuses_malformed(tmp_path):
+    """Truncated/short-line/headerless files must make the native parser
+    return None (Python fallback raises) instead of parsing garbage
+    across line boundaries (ADVICE r4: unbounded strtod/strtoll)."""
+    from fenics_eff_uptake_tpu.meshing import native
+    probe = str(tmp_path / "probe.msh")
+    with open(probe, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n"
+                "$Nodes\n1\n1 0 0 0\n$EndNodes\n")
+    if native.read_msh2_native(probe) is None:
+        import pytest
+        pytest.skip("native msh2 parser unavailable")
+
+    cases = {
+        # node line missing the y coordinate: the next line's bytes must
+        # NOT be consumed as the missing field
+        "short_node": "$MeshFormat\n2.2 0 8\n$EndMeshFormat\n"
+                      "$Nodes\n2\n1 0\n2 1 0 0\n$EndNodes\n",
+        # element line missing connectivity entries
+        "short_elem": "$MeshFormat\n2.2 0 8\n$EndMeshFormat\n"
+                      "$Nodes\n3\n1 0 0 0\n2 1 0 0\n3 0 1 0\n$EndNodes\n"
+                      "$Elements\n1\n1 2 2 5 1 1 2\n$EndElements\n",
+        # file truncated mid-token at EOF (NUL-termination regression)
+        "truncated": "$MeshFormat\n2.2 0 8\n$EndMeshFormat\n"
+                     "$Nodes\n2\n1 0 0 0\n2 1",
+        # no $MeshFormat: Python spec returns version=None
+        "no_header": "$Nodes\n1\n1 0 0 0\n$EndNodes\n",
+        # non-canonical version token: Python carries the raw token "2"
+        "bare_version": "$MeshFormat\n2 0 8\n$EndMeshFormat\n"
+                        "$Nodes\n1\n1 0 0 0\n$EndNodes\n",
+    }
+    for name, content in cases.items():
+        path = str(tmp_path / f"{name}.msh")
+        with open(path, "w") as f:
+            f.write(content)
+        assert native.read_msh2_native(path) is None, name
+
+
 def test_msh2_native_roundtrip_large(tmp_path):
     """Round-trip a real generated mesh through the native parser."""
     from fenics_eff_uptake_tpu.meshing import native

@@ -98,15 +98,10 @@ def test_el1_ladder_certificates_all_agree():
                     continue
                 e_star = r["extrapolated_E_L1"]
                 ours1 = r["ladder"][0][1]
-                delta_rel = abs(g - ours1) / abs(e_star)
-                if (g < e_star) == (ours1 < e_star):
-                    # same side: delta within the larger remaining error
-                    ok = delta_rel <= max(ge, oe) * 1.05 + 1e-12
-                else:
-                    # the codes bracket E*: delta decomposes as ge + oe
-                    # (triangle equality through the limit)
-                    ok = delta_rel <= (ge + oe) * 1.05 + 1e-12
-                ok = ok and max(ge, oe) <= 0.5
+                # golden-converges-onto-OUR-limit (the binding condition
+                # is on ge, not the tautological inter-code delta; see
+                # scripts/compare_goldens.py el1_row_agrees)
+                ok = ge <= 1.25 * oe + 0.01 and ge <= 0.25
                 assert ok, (path, r["pe"], g, ours1, e_star, ge, oe)
                 checked += 1
     assert checked >= 10, f"only {checked} certified rows found"
