@@ -171,13 +171,17 @@ def main():
         # roofline accounting: modelled bytes/FLOPs of the executed CG
         # iterations vs chip peaks (utils/roofline.py)
         try:
+            from fenics_eff_uptake_tpu.parallel.sweep import (
+                effective_ml_cycle)
             from fenics_eff_uptake_tpu.solvers.multilevel import (
                 _ml_cycle, _ml_smooth_steps)
             from fenics_eff_uptake_tpu.utils.roofline import (
                 ml_cg_iteration_cost, roofline_summary)
+            cycle = effective_ml_cycle() or _ml_cycle()
             cost = ml_cg_iteration_cost(
                 sys_t, ml, B=len(mus), n_smooth=_ml_smooth_steps(),
-                cycle=_ml_cycle())
+                cycle=cycle)
+            meta["ml_cycle"] = cycle
             meta["roofline"] = roofline_summary(
                 cost, iters_executed=int(np.max(info["iters"])),
                 wall_s=t_solve, passes_f64=int(info.get("passes", 0)) + 1,

@@ -189,7 +189,14 @@ def _permute_block(b: _Block, old2new: np.ndarray) -> _Block:
 # *4 and the apply is band-read bound, so smaller tiles track the graph
 # spread more tightly (381 MB vs 763 MB at spread 357, ~1e5 dofs); the
 # (128, 128) @ (128, B) tile matmuls still fill the MXU.
-_BAND_TILE = 128
+# 256-row band tiles: at the study scale (1e5 P2 dofs, spread ~357 after
+# the geometric ordering) the 128-row form was (832, 128, 1152) = 468 MB
+# with 832 sequential kernel steps, and per-step DMA-wait latency -- not
+# bytes -- dominated the apply (measured 5.1 ms).  256-row tiles trade
+# +11% band zeros for half the steps and 44% less window traffic
+# (window reads overlap less): (416, 256, 1280) = 520 MB at 2.48 ms.
+# 512 rows goes the other way (+33% zeros, 2.62 ms).
+_BAND_TILE = 256
 
 
 def _band_plans_for(mesh, element, K: _Block, Adv, R, ndofs, n_true,
@@ -872,8 +879,53 @@ def _refine_program(struct_key, M_fn, n_iters):
     return refine
 
 
+def effective_ml_cycle(nonsym=False):
+    """The multigrid cycle the sweep solver actually uses (also read by
+    bench.py's roofline accounting so the modeled bytes match the
+    executed program).
+
+    Symmetric CG sweeps on TPU default to the HYBRID cycle (additive at
+    the expensive fine level, multiplicative below): measured 0.679 ->
+    0.606 s on the bench sweep (iters 22 -> 32, but each iteration
+    drops 2 of its 3 fine banded applies).  Nonsymmetric (BiCGStab)
+    sweeps and non-TPU backends keep the V(1,1) multiplicative cycle,
+    whose iteration counts the committed artifacts pin.  Returns None
+    to defer to the builder's own default (_ml_cycle) in those cases.
+    """
+    import os
+    if not nonsym and jax.default_backend() == "tpu":
+        return os.environ.get("FEU_ML_CYCLE", "hybrid")
+    return None
+
+
+def _cheap_passes():
+    """Defect passes carried on the inner CG's own recurrence residual
+    (zero f64 element applies at the pass boundary) before the one
+    true-residual certification.  The f64 element apply is the single
+    most expensive dispatch in the solve (~62 ms at 1e5 dofs: the f64
+    gather/scatter path has no banded/MXU form), so skipping one pass
+    boundary is worth ~10% of the steady solve (measured 0.74 ->
+    0.61 s on the bench sweep).
+
+    Drift analysis pins the structure: a cheap pass STARTED at full
+    residual scale admits ~2^-24 * ||b|| of f32 recurrence drift --
+    above rtol=1e-11 -- so the loop always opens with ONE true f64
+    pass; from pass 2 on the starting scale is ~1e-4 ||b|| and the
+    carried residual is trustworthy to ~1e-11 ||b||.  (The first
+    attempt without the leading true pass paid 2 extra fallback passes
+    and was a net loss.)  The carried estimate is never reported: one
+    true f64 residual after the cheap loop certifies the norms, and
+    the classic true-residual passes below it mop up any miss.
+
+    Default 1 on TPU (FEU_CHEAP_PASSES overrides); 0 elsewhere so the
+    CPU test/artifact pass structure stays pinned."""
+    import os
+    dflt = "1" if jax.default_backend() == "tpu" else "0"
+    return int(os.environ.get("FEU_CHEAP_PASSES", dflt))
+
+
 def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10,
-                         x0_lift=False):
+                         x0_lift=False, cheap_passes=None):
     """The ENTIRE mixed-precision solve as one device dispatch: an outer
     f64 defect-correction while_loop, each pass an early-exit f32
     preconditioned-CG while_loop.  Only the final X and (B,) diagnostics
@@ -883,8 +935,20 @@ def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10,
     dof), so the opening residual is analytically where(free, RHS, 0)
     -- this skips one f64 element apply, the single most expensive
     dispatch in the program (~62 ms at 1e5 dofs: the f64 gather/
-    scatter path has no banded/MXU form)."""
-    key = ("mixed", struct_key, id(M_fn), n_iters, max_passes, x0_lift)
+    scatter path has no banded/MXU form).
+
+    cheap_passes: the first passes carry the inner CG's OWN final f32
+    recurrence residual (cast to f64) across the pass boundary instead
+    of recomputing the true f64 residual -- zero element applies per
+    boundary.  The f32 drift this admits is ~2^-24 * ||R_prev|| per
+    pass (pass 1's ||R|| ~ 1e-4 ||b|| bounds it by ~1e-11 ||b||), and
+    it is never trusted: ONE true f64 residual after the cheap loop
+    certifies the reported norms, and the classic true-residual passes
+    below it mop up any certification miss."""
+    if cheap_passes is None:
+        cheap_passes = _cheap_passes()
+    key = ("mixed", struct_key, id(M_fn), n_iters, max_passes, x0_lift,
+           cheap_passes)
     hit = _REFINE_CACHE.get(key)
     if hit is not None and hit[0] is M_fn:
         return hit[1]
@@ -932,7 +996,22 @@ def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10,
             _, Dx, R, Z, P, rz, cit = jax.lax.while_loop(
                 cond, body,
                 (jnp.asarray(0, jnp.int32), Dx, R, Z, P, rz, cit0))
-            return Dx, cit
+            return Dx, R, cit
+
+        # cheap passes: the pass-boundary residual is the inner CG's own
+        # final f32 recurrence residual, so NO f64 element apply runs
+        # until the certification below
+        def cond_cheap(st):
+            k, X, R64, rn, tot = st
+            return (k < 1 + cheap_passes) & jnp.any(rn > tol)
+
+        def body_cheap(st):
+            k, X, R64, rn, tot = st
+            Dx, Rf, cit = inner(R64)
+            X = X + Dx.astype(jnp.float64)
+            R64n = Rf.astype(jnp.float64)
+            rn = jnp.sqrt(jnp.sum(R64n * R64n, axis=0))
+            return (k + 1, X, R64n, rn, tot + cit.astype(jnp.int64))
 
         def cond_outer(st):
             k, X, R64, rn, tot = st
@@ -944,7 +1023,7 @@ def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10,
         # element apply per pass plus the opening one.
         def body_outer(st):
             k, X, R64, rn, tot = st
-            Dx, cit = inner(R64)
+            Dx, _Rf, cit = inner(R64)
             X = X + Dx.astype(jnp.float64)
             R64n = RHS - A_fn(a64, X)
             rn = jnp.sqrt(jnp.sum(R64n * R64n, axis=0))
@@ -956,10 +1035,25 @@ def _mixed_solve_program(struct_key, M_fn, n_iters, max_passes=10,
         else:
             R0 = RHS - A_fn(a64, X0)
         rn0 = jnp.sqrt(jnp.sum(R0 * R0, axis=0))
+        st0 = (jnp.asarray(0, jnp.int32), X0, R0, rn0,
+               jnp.zeros(B, dtype=jnp.int64))
+        if cheap_passes > 0:
+            # ONE leading true pass first: the f32 drift of a pass
+            # started at full residual scale is ~2^-24 ||b||, far above
+            # tol, so pass 1's boundary must re-base in f64.  From pass
+            # 2 on the starting scale is ~1e-4 ||b|| and the carried
+            # recurrence residual is trustworthy to ~1e-11 ||b||.
+            st0 = jax.lax.cond(jnp.any(rn0 > tol), body_outer,
+                               lambda s: s, st0)
+            k, X, _R64, _rn, tot = jax.lax.while_loop(
+                cond_cheap, body_cheap, st0)
+            # certification: the reported norms are ALWAYS a true f64
+            # residual, never the carried estimate
+            R64 = RHS - A_fn(a64, X)
+            rn = jnp.sqrt(jnp.sum(R64 * R64, axis=0))
+            st0 = (k, X, R64, rn, tot)
         k, X, R64, rn, tot = jax.lax.while_loop(
-            cond_outer, body_outer,
-            (jnp.asarray(0, jnp.int32), X0, R0, rn0,
-             jnp.zeros(B, dtype=jnp.int64)))
+            cond_outer, body_outer, st0)
         return X, rn, tot, k
 
     _REFINE_CACHE[key] = (M_fn, solve)
@@ -1161,7 +1255,8 @@ def solve_sweep(sys: TransportSystem, D_values, mu_values=None,
     def make_M(f32):
         if multilevel is not None:
             from ..solvers.multilevel import make_ml_preconditioner
-            return make_ml_preconditioner(multilevel, f32=f32)
+            return make_ml_preconditioner(multilevel, f32=f32,
+                                          cycle=effective_ml_cycle(nonsym))
         dv = dinv.astype(jnp.float32) if f32 else dinv
         if tl is None:
             return (_jacobi_M, (dv,))

@@ -1166,7 +1166,7 @@ def _tband_values_all(plans, vals):
     return outs
 
 
-def _ml_struct_key(ml: MultilevelData, f32: bool):
+def _ml_struct_key(ml: MultilevelData, f32: bool, cycle=None):
     from ..parallel.sweep import sys_struct_key
     lv = tuple(
         (sys_struct_key(lev.sys), lev.transfer.n_coarse,
@@ -1177,7 +1177,7 @@ def _ml_struct_key(ml: MultilevelData, f32: bool):
          (int(lev.bands[1].n_cols_pad), int(lev.bands[3].n_cols_pad)))
         for i, lev in enumerate(ml.levels))
     return (lv, int(ml.Ainv.shape[1]), str(_ml_dtype(f32)),
-            _ml_smooth_steps(), _ml_cycle())
+            _ml_smooth_steps(), cycle or _ml_cycle())
 
 
 def _ml_program(struct_key):
@@ -1431,13 +1431,18 @@ def build_multilevel_for(sys, mesh, D_values, mu_values=None,
                             u_levels=u_levels, omega=omega)
 
 
-def make_ml_preconditioner(ml: MultilevelData, f32=True):
-    """M^{-1}: (n, B) -> (n, B) as one V(1,1) multigrid cycle.
+def make_ml_preconditioner(ml: MultilevelData, f32=True, cycle=None):
+    """M^{-1}: (n, B) -> (n, B) as one multigrid cycle.
+
+    cycle: 'mult' | 'add' | 'hybrid' (None -> _ml_cycle(), i.e. the
+    FEU_ML_CYCLE env or 'mult').  All three are symmetric PSD, so the
+    choice only moves the CG iteration count / per-iteration cost
+    trade-off, never the solution.
 
     Returned as an (fn, args) pair (solvers/batched.py convention); the
     fn is cached by structure so Krylov chunks compile once per shape
     bucket and are reused across mu batches, meshes, and studies.
     """
     band = _ml_band_in_M()
-    apply = _ml_program(_ml_struct_key(ml, f32))
+    apply = _ml_program(_ml_struct_key(ml, f32, cycle))
     return (apply, ml_preconditioner_args(ml, f32=f32, band=band))

@@ -99,11 +99,13 @@ def ml_cg_iteration_cost(sys_t, ml, B, n_smooth=1, cycle="mult",
 
     applies_per_level = 2 * n_smooth  # residual + mirrored post-smooth
     tb_by = tb_fl = lv_by = lv_fl = 0.0
-    for lev in ml.levels:
+    for il, lev in enumerate(ml.levels):
         s = lev.sys
         aby, afl = _apply_cost(s, s.Kband)
-        if cycle == "add":
-            aby = afl = 0.0          # additive cycle: no level applies
+        if cycle == "add" or (cycle == "hybrid" and il == 0):
+            # additive cycle: no level applies anywhere; hybrid: the
+            # FINE level is additive (scaled Jacobi + coarse term only)
+            aby = afl = 0.0
         lv_by += applies_per_level * aby
         lv_fl += applies_per_level * afl
         if lev.bands is not None:
