@@ -17,6 +17,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("study")
     ap.add_argument("--mesh-size", type=float, default=0.02)
+    ap.add_argument("--out-base", default="examples",
+                    help="artifact base dir (default examples/; point at "
+                         "a scratch dir for timing re-measurements so the "
+                         "committed artifacts stay untouched)")
     args = ap.parse_args()
 
     from fenics_eff_uptake_tpu.utils.jaxconfig import setup
@@ -36,46 +40,46 @@ def main():
                 from fenics_eff_uptake_tpu.studies.phase_a import \
                     run_mu_sweep
                 run_mu_sweep(mesh_size_dim=h,
-                             base_dir=f"examples/phase_a_{tag}")
+                             base_dir=f"{args.out_base}/phase_a_{tag}")
             elif study == "phase_a_spatial":
                 from fenics_eff_uptake_tpu.studies.phase_a import \
                     run_mu_eff_analysis
                 run_mu_eff_analysis(mesh_size_dim=h,
-                                    base_dir=f"examples/phase_a_{tag}")
+                                    base_dir=f"{args.out_base}/phase_a_{tag}")
             elif study == "phase_a_geometry":
                 from fenics_eff_uptake_tpu.studies.phase_a import \
                     run_geometry_analysis
                 run_geometry_analysis(mesh_size_dim=h,
-                                      base_dir=f"examples/phase_a_{tag}")
+                                      base_dir=f"{args.out_base}/phase_a_{tag}")
             elif study == "phase_a_ar":
                 from fenics_eff_uptake_tpu.studies.phase_a import \
                     run_aspect_ratio_analysis
                 run_aspect_ratio_analysis(
-                    mesh_size_dim=h, base_dir=f"examples/phase_a_{tag}")
+                    mesh_size_dim=h, base_dir=f"{args.out_base}/phase_a_{tag}")
             elif study == "phase_b":
                 from fenics_eff_uptake_tpu.studies.phase_b import \
                     run_no_adv_mu_sweep
                 run_no_adv_mu_sweep(
-                    output_base=f"examples/phase_b_{tag}",
+                    output_base=f"{args.out_base}/phase_b_{tag}",
                     mesh_size_dim=h)
             elif study == "adv_diff":
                 from fenics_eff_uptake_tpu.studies.adv_diff import \
                     run_advdiff_step_validation
                 run_advdiff_step_validation(
-                    output_base_dir=f"examples/advdiff_{tag}",
+                    output_base_dir=f"{args.out_base}/advdiff_{tag}",
                     mesh_size_dim=h)
             elif study == "richardson":
                 from fenics_eff_uptake_tpu.studies.mesh_convergence \
                     import run_mesh_convergence
                 run_mesh_convergence(
-                    base_dir=f"examples/mesh_convergence_{tag}",
+                    base_dir=f"{args.out_base}/mesh_convergence_{tag}",
                     realisation_check=True)
             elif study == "no_uptake":
                 from fenics_eff_uptake_tpu.studies.no_uptake import \
                     run_geometry_study
                 run_geometry_study(
                     mesh_size_dim=h,
-                    base_dir=f"examples/no_uptake_{tag}")
+                    base_dir=f"{args.out_base}/no_uptake_{tag}")
             else:
                 print(f"unknown study {study}")
                 sys.exit(2)

@@ -140,6 +140,9 @@ def test_sharded_bicgstab_advective_matches_vmapped():
     assert np.abs(np.asarray(X_sh) - np.asarray(X_ref)).max() < 1e-8
 
 
+@pytest.mark.slow  # ~43 s: the single heaviest fast-gate test; the
+# sharded Stokes path is also exercised every round by the driver's
+# dryrun_multichip and by the two (faster) sharded transport tests above
 def test_sharded_stokes_matches_single_chip():
     """Saddle MINRES under shard_map == stokes_solve_mg (f64).
 

@@ -62,6 +62,8 @@ def test_phase_b_heatmaps(tmp_path):
     assert len(pngs) == 6
 
 
+@pytest.mark.slow  # ~12 s of matplotlib rendering; the faster
+# create_heatmaps test above keeps adv-diff plotting in the fast gate
 def test_advdiff_validation_plots(tmp_path):
     from fenics_eff_uptake_tpu.plotting.adv_diff_plots import (
         create_validation_plots)
