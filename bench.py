@@ -148,6 +148,11 @@ def main():
         "backend": jax.default_backend(),
         "assembled_dofs_per_s": (int(sys_t.ndofs / t_asm)
                                  if t_asm > 0 else None),
+        # warm assembly roofline: modelled device bytes vs measured
+        # wall-clock.  The achieved fraction being far below HBM peak
+        # says warm assembly is host/dispatch-latency bound, not
+        # bandwidth bound (utils/roofline.py assembly_cost docstring).
+        "assembly_roofline": None,  # filled below
         "baseline_assumption_s_per_point": REF_SECONDS_PER_POINT,
         # the reference publishes no timings, so vs_baseline rests on the
         # 2.0 s/pt serial-FEniCS assumption (BASELINE.md "Defending the
@@ -167,6 +172,19 @@ def main():
         meta["ml_transfer_cache"] = dict(CACHE_STATS)
     except ImportError:
         pass
+    try:
+        from fenics_eff_uptake_tpu.utils.roofline import (assembly_cost,
+                                                          chip_peaks)
+        ac = assembly_cost(sys_t)
+        pk = chip_peaks()
+        gbps = ac["bytes"] / max(t_asm, 1e-12) / 1e9
+        meta["assembly_roofline"] = {
+            "modeled_bytes_mb": round(ac["bytes"] / 2**20, 1),
+            "achieved_gbps": round(gbps, 2),
+            "hbm_roofline_pct": round(100.0 * gbps / pk["hbm_gbps"], 2),
+        }
+    except Exception as e:
+        meta["assembly_roofline"] = {"error": f"{type(e).__name__}: {e}"}
     if PRECOND == "ml":
         # roofline accounting: modelled bytes/FLOPs of the executed CG
         # iterations vs chip peaks (utils/roofline.py)

@@ -137,6 +137,26 @@ def ml_cg_iteration_cost(sys_t, ml, B, n_smooth=1, cycle="mult",
                           for k, (b, f) in parts.items()}}
 
 
+def assembly_cost(sys_t, dtype_bytes=8):
+    """Modelled device bytes of ONE warm transport-system assembly:
+    quadrature einsum inputs/outputs (coords, tabulation tables, element
+    matrices in f64) plus the banded-form scatter (band written once,
+    element values + column ids read once).  Host-side work (dofmap,
+    plan loads, numpy glue) is NOT modelled -- the gap between this
+    bound and the measured wall-clock is host/dispatch latency, which is
+    the actual limiter at study scale (see PERFORMANCE.md round-5).
+    """
+    N, nd, _ = [int(s) for s in sys_t.K.A64.shape]
+    by = (N * 3 * 2 * dtype_bytes          # cell coords
+          + 2 * N * nd * nd * dtype_bytes  # element matrices out (K, M)
+          + N * nd * nd * dtype_bytes)     # robin/aux block
+    if sys_t.Kband is not None:
+        T, R, W = [int(s) for s in sys_t.Kband.shape]
+        by += T * R * W * 4                # band written (f32)
+        by += N * nd * nd * (4 + 4)        # values + flat ids read
+    return {"bytes": by}
+
+
 def roofline_summary(cost, iters_executed, wall_s, passes_f64=0,
                      sys_t=None, B=1, peaks=None):
     """Achieved GB/s / TFLOPs vs chip peaks for a measured solve.
