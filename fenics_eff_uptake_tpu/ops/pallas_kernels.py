@@ -248,9 +248,15 @@ def _rect_band_kernel_factory(R, W, T):
         pltpu.make_async_copy(
             x_hbm.at[pl.ds(offs_ref[t], W), :], xwin.at[slot],
             sems.at[slot]).wait()
+        # same rule as the square-band kernel: bf16 operands take the
+        # native single-pass MXU mode (Mosaic rejects fp32 contract
+        # precision on bf16 inputs); f32 keeps the 6-pass HIGHEST form
+        prec = (jax.lax.Precision.DEFAULT
+                if band_ref.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
         y = jax.lax.dot_general(
             band_ref[0], xwin[slot], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
             preferred_element_type=jnp.float32)
         y_ref[:, :] = y.astype(y_ref.dtype)
 

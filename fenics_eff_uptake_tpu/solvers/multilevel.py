@@ -1043,6 +1043,21 @@ def _ml_dtype(f32):
     return jnp.float32
 
 
+def _ml_tb_bf16():
+    """Store the windowed-band MG TRANSFER operators (tb_p / tb_r) in
+    bf16.  They are the largest V-cycle byte stream at study scale
+    (~407 MB of the 1310 MB modeled bytes per hybrid CG iteration --
+    the fine restrict band alone is (128, 256, 1536) = 201 MB), and
+    they live entirely inside the preconditioner M: rounding P and
+    P^T entrywise from the same f64 values keeps restrict == prolong^T
+    exactly, so M stays symmetric and CG theory is untouched -- only
+    the iteration count can move.  Default ON on TPU;
+    FEU_ML_TB_BF16=0 restores f32 bands."""
+    import os
+    dflt = "1" if jax.default_backend() == "tpu" else "0"
+    return os.environ.get("FEU_ML_TB_BF16", dflt) == "1"
+
+
 def _ml_smooth_steps():
     """V(nu,nu) smoothing count (FEU_ML_SMOOTH, default 1).  With the
     banded fine-level apply the marginal smoothing step is cheap; more
@@ -1177,7 +1192,7 @@ def _ml_struct_key(ml: MultilevelData, f32: bool, cycle=None):
          (int(lev.bands[1].n_cols_pad), int(lev.bands[3].n_cols_pad)))
         for i, lev in enumerate(ml.levels))
     return (lv, int(ml.Ainv.shape[1]), str(_ml_dtype(f32)),
-            _ml_smooth_steps(), cycle or _ml_cycle())
+            _ml_smooth_steps(), cycle or _ml_cycle(), _ml_tb_bf16())
 
 
 def _ml_program(struct_key):
@@ -1185,7 +1200,7 @@ def _ml_program(struct_key):
     if hit is not None:
         return hit
     from ..parallel.sweep import _args_block_apply
-    level_structs, nc, _dt_tag, n_smooth, cycle = struct_key
+    level_structs, nc, _dt_tag, n_smooth, cycle, _tb_bf16 = struct_key
     n_mid = len(level_structs)
     ndofs_l = [s[0][0] for s in level_structs]
     ncoarse_l = [s[1] for s in level_structs]
@@ -1352,6 +1367,12 @@ def ml_preconditioner_args(ml: MultilevelData, f32=True, band=True):
         # transfers: the windowed bands are stored f32 and would round
         # the f64 preconditioner's transfer arithmetic
         tb = lev.bands if dt != jnp.float64 else None
+        tb_dt = (jnp.bfloat16 if tb is not None
+                 and (dt == jnp.bfloat16 or _ml_tb_bf16())
+                 else None)
+
+        def _tb_band(b):
+            return b if tb_dt is None else b.astype(tb_dt)
         levels.append(_LevelArgs(
             K=_ba(s.K, band=s.Kband),
             Adv=None if s.Adv is None else _ba(s.Adv, band=s.Advband),
@@ -1363,9 +1384,9 @@ def ml_preconditioner_args(ml: MultilevelData, f32=True, band=True):
             t_w=lev.transfer.weights.astype(dt),
             t_perm=lev.transfer.perm,
             t_ids=lev.transfer.ids_sorted,
-            tb_p=None if tb is None else tb[0].band,
+            tb_p=None if tb is None else _tb_band(tb[0].band),
             tb_po=None if tb is None else tb[0].offs,
-            tb_r=None if tb is None else tb[2].band,
+            tb_r=None if tb is None else _tb_band(tb[2].band),
             tb_ro=None if tb is None else tb[2].offs,
             tb_sig=None if tb is None else tb[4],
             tb_isig=None if tb is None else tb[5],

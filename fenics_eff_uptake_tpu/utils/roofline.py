@@ -109,8 +109,12 @@ def ml_cg_iteration_cost(sys_t, ml, B, n_smooth=1, cycle="mult",
         lv_by += applies_per_level * aby
         lv_fl += applies_per_level * afl
         if lev.bands is not None:
+            # transfer bands ride in bf16 when _ml_tb_bf16() is on (the
+            # executed program converts them in ml_preconditioner_args)
+            from ..solvers.multilevel import _ml_tb_bf16
+            tb_bytes = 2 if _ml_tb_bf16() else dtype_bytes
             for bnd in (lev.bands[0], lev.bands[2]):
-                b2, f2 = _band_cost(bnd.band.shape, B, dtype_bytes)
+                b2, f2 = _band_cost(bnd.band.shape, B, tb_bytes)
                 tb_by += b2
                 tb_fl += f2
         else:

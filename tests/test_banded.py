@@ -368,3 +368,30 @@ def test_sweep_equivalence_tband(mesh, systems, monkeypatch):
                         chunk_iters=25)
     assert float(jnp.abs(X1 - X2).max()) < 1e-8
     assert (np.asarray(i1["rel_resnorm"]) < 1e-10).all()
+
+
+def test_sweep_equivalence_tband_bf16(mesh, systems, monkeypatch):
+    """bf16 transfer bands (FEU_ML_TB_BF16=1, the TPU default) change
+    only the preconditioner's internal precision: the f64 defect
+    correction still converges to rtol and the solution matches the f32
+    gather-path solve.  Rounding P and P^T entrywise from the same
+    values keeps restrict == prolong^T, so M stays CG-symmetric."""
+    from fenics_eff_uptake_tpu.solvers.multilevel import build_multilevel
+    _, bnd = systems
+    mids = [generate_mesh(mesh_size=0.24, **KW),
+            generate_mesh(mesh_size=0.45, **KW)]
+    mus = np.array([0.1, 1.0, 10.0])
+    D = np.ones(3)
+    ml_g = build_multilevel(bnd, mids, D, mu_values=mus)
+    monkeypatch.setenv("FEU_ML_TBAND", "1")
+    monkeypatch.setenv("FEU_ML_TB_BF16", "1")
+    ml_t = build_multilevel(bnd, mids, D, mu_values=mus)
+    assert ml_t.levels[0].bands is not None
+    X1, i1 = solve_sweep(bnd, D, mu_values=mus, rtol=1e-11,
+                         precision="mixed", multilevel=ml_t,
+                         chunk_iters=25)
+    X2, _ = solve_sweep(bnd, D, mu_values=mus, rtol=1e-11,
+                        precision="mixed", multilevel=ml_g,
+                        chunk_iters=25)
+    assert float(jnp.abs(X1 - X2).max()) < 1e-8
+    assert (np.asarray(i1["rel_resnorm"]) < 1e-10).all()
