@@ -243,7 +243,12 @@ def build_rect_band_plan(rows, cols, vals, n_rows, n_cols, tile=256,
         empty = mx < 0
         mn[empty] = 0
         mx[empty] = 0
-        offs = (mn // 8) * 8                   # DMA sublane alignment
+        # 16-aligned window starts: covers f32's (8, 128) sublane DMA
+        # alignment AND bf16's packed (16, 128) VMEM tiling, so the
+        # same plan serves both band dtypes (the kernel asserts the
+        # alignment via pl.multiple_of -- Mosaic cannot prove
+        # divisibility of runtime SMEM offsets on its own)
+        offs = (mn // 16) * 16
         need = int((mx - offs).max()) + 1
         W = next((w for w in _RECT_W_MENU if w >= need), None)
         if W is None or T * t_r * W * 4 > max_bytes:

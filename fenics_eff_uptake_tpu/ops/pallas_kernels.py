@@ -233,20 +233,27 @@ def _rect_band_kernel_factory(R, W, T):
         nslot = jax.lax.rem(t + jnp.asarray(1, jnp.int32),
                             jnp.asarray(2, jnp.int32))
 
+        # window starts are runtime SMEM data; the host plan 16-aligns
+        # them (ops/banded.py build_rect_band_plan) and multiple_of
+        # carries that fact to Mosaic -- required for bf16's packed
+        # (16, 128) VMEM tiling, harmless for f32
+        def _o(i):
+            return pl.multiple_of(offs_ref[i], 16)
+
         @pl.when(t == 0)
         def _():
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(offs_ref[0], W), :], xwin.at[0],
+                x_hbm.at[pl.ds(_o(0), W), :], xwin.at[0],
                 sems.at[0]).start()
 
         @pl.when(t + 1 < T)
         def _():
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(offs_ref[t + 1], W), :], xwin.at[nslot],
+                x_hbm.at[pl.ds(_o(t + 1), W), :], xwin.at[nslot],
                 sems.at[nslot]).start()
 
         pltpu.make_async_copy(
-            x_hbm.at[pl.ds(offs_ref[t], W), :], xwin.at[slot],
+            x_hbm.at[pl.ds(_o(t), W), :], xwin.at[slot],
             sems.at[slot]).wait()
         # same rule as the square-band kernel: bf16 operands take the
         # native single-pass MXU mode (Mosaic rejects fp32 contract

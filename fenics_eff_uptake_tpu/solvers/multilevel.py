@@ -1051,11 +1051,14 @@ def _ml_tb_bf16():
     they live entirely inside the preconditioner M: rounding P and
     P^T entrywise from the same f64 values keeps restrict == prolong^T
     exactly, so M stays symmetric and CG theory is untouched -- only
-    the iteration count can move.  Default ON on TPU;
-    FEU_ML_TB_BF16=0 restores f32 bands."""
+    the iteration count can move.
+
+    bf16 windows need the 16-aligned transfer plans (tbandplan-v3 +
+    pl.multiple_of in the rect kernel: Mosaic cannot prove runtime
+    SMEM offsets divisible by bf16's packed (16, 128) VMEM tiling on
+    its own).  FEU_ML_TB_BF16=1 enables."""
     import os
-    dflt = "1" if jax.default_backend() == "tpu" else "0"
-    return os.environ.get("FEU_ML_TB_BF16", dflt) == "1"
+    return os.environ.get("FEU_ML_TB_BF16", "0") == "1"
 
 
 def _ml_smooth_steps():
@@ -1117,7 +1120,8 @@ def _aligned_plans_cached(cols, w, nf, nc_l):
     per level per process otherwise.  Returns (content_key, plans)."""
     from ..ops.banded import RectBandPlan, aligned_transfer_plans
     from ..utils.diskcache import cache_key_of, cached_arrays
-    key = cache_key_of("tbandplan-v2", cols, w, nf, nc_l)
+    # v3: 16-aligned window starts (bf16-packed VMEM tiling support)
+    key = cache_key_of("tbandplan-v3", cols, w, nf, nc_l)
     memo = _TBAND_PLAN_MEMO.get(key)
     if memo is not None:
         return key, memo
